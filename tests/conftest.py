@@ -1,0 +1,21 @@
+"""Test harness: force an 8-device virtual CPU mesh before jax import.
+
+This is the TPU analog of multi-node testing without a cluster
+(SURVEY.md §4d): all sharding/collective tests run against
+xla_force_host_platform_device_count=8.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
