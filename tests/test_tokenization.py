@@ -1,0 +1,117 @@
+"""Tokenization tests, incl. bit-parity with HF's pure-Python GPT-2 BPE."""
+
+import pytest
+
+from vidsitu_tpu.tokenization import (
+    BPETokenizer,
+    Vocabulary,
+    build_vidsitu_gpt2_tokenizer,
+    make_gpt2_tokenizer,
+    make_roberta_tokenizer,
+    train_byte_level_bpe,
+)
+
+CORPUS = [
+    "a man walks in the park",
+    "the woman is walking a dog 123!",
+    "speak walk open stare gesture",
+    "a man in a white shirt holds the bed",
+    "scene of the event is in a home, isn't it?",
+] * 3
+
+
+@pytest.fixture(scope="module")
+def bpe():
+    return train_byte_level_bpe(CORPUS, vocab_size=350)
+
+
+def test_bpe_roundtrip(bpe):
+    tok = make_gpt2_tokenizer(bpe)
+    for s in ["a man walks", "héllo wörld", "  spaces  ", "tab\there"]:
+        ids = tok(s)["input_ids"]
+        assert tok.decode(ids) == s
+
+
+def test_bpe_matches_hf_slow_tokenizer(bpe, tmp_path):
+    """Same vocab/merges -> identical ids vs transformers.GPT2Tokenizer."""
+    transformers = pytest.importorskip("transformers")
+    d = tmp_path / "voc"
+    bpe.save_dir(d)
+    hf = transformers.GPT2Tokenizer(
+        vocab_file=str(d / "vocab.json"), merges_file=str(d / "merges.txt")
+    )
+    tests = [
+        "a man walks",
+        "the woman's dog, 42 times!",
+        "unicode: héllo wörld",
+        "  double  spaces ",
+        "newline\ntab\t.",
+        "CamelCase MIXED caps",
+    ]
+    for t in tests:
+        ours = bpe.encode_ordinary(t)
+        theirs = hf.convert_tokens_to_ids(hf.tokenize(t))
+        assert ours == theirs, t
+
+
+def test_added_tokens_atomic(bpe):
+    tok = make_gpt2_tokenizer(bpe)
+    tok.add_special_tokens({"additional_special_tokens": ["<Arg0>", "</Arg0>"]})
+    tok.add_tokens(["speak.01"])
+    s = "speak.01 <Arg0> a man <Arg0>"
+    ids = tok(s)["input_ids"]
+    assert tok.added_tokens["speak.01"] in ids
+    assert tok.decode(ids) == s
+    assert tok.decode(ids, skip_special_tokens=True) == "speak.01  a man "
+
+
+def test_vidsitu_gpt2_tokenizer(bpe, tmp_path):
+    verbs = ["speak.01", "walk.01"]
+    args = ["Arg0", "Arg1", "AScn"]
+    tok = build_vidsitu_gpt2_tokenizer(bpe, verbs, args)
+    # verb ids are single tokens (dat_loader.py:249-252 relies on this)
+    av = tok.get_added_vocab()
+    assert "speak.01" in av and "<EV_SEP>" in av and "<Arg0>" in av
+    assert tok.pad_token_id is not None
+    assert tok.eos_token_id is not None
+    assert tok.pad() == tok.pad_token_id  # fairseq protocol
+    # persistence roundtrip
+    d = tmp_path / "vidsitu_voc"
+    tok.save_dir(d)
+    tok2 = BPETokenizer.from_dir(d)
+    s = "walk.01 <Arg0> the man <Arg1> a dog"
+    assert tok2(s)["input_ids"] == tok(s)["input_ids"]
+    assert tok2.pad_token_id == tok.pad_token_id
+    assert tok2.decode(tok2(s)["input_ids"], skip_special_tokens=True) == (
+        "walk.01  the man  a dog"
+    )
+
+
+def test_roberta_flavor(bpe):
+    tok = make_roberta_tokenizer(bpe)
+    ids = tok("a man walks")["input_ids"]
+    assert ids[0] == tok.bos_token_id
+    assert ids[-1] == tok.eos_token_id
+    assert tok.sep_token == "</s>"
+    # pair building as in dat_loader.py:366-368
+    pair = tok("a man" + tok.sep_token + "a dog")["input_ids"]
+    assert tok.sep_token_id in pair
+
+
+def test_vocabulary():
+    v = Vocabulary.from_symbols(["speak.01", "walk.01"])
+    assert v.pad_index == 1 and v.unk_index == 3  # fairseq order
+    assert v.index("speak.01") == 4
+    assert v.index("nope") == v.unk_index
+    assert v.symbols[v.index("walk.01")] == "walk.01"
+    assert len(v) == 6
+
+
+def test_vocabulary_json_roundtrip(tmp_path):
+    v = Vocabulary.from_symbols(["a.01", "b.02"])
+    p = tmp_path / "voc.json"
+    v.save_json(p)
+    v2 = Vocabulary.load(p)
+    assert v2.symbols == v.symbols
+    assert v2.indices == v.indices
+    assert v2.pad_index == v.pad_index

@@ -1,0 +1,250 @@
+"""Synthetic VidSitu-format dataset fabrication.
+
+Generates annotation/split/vinfo JSONs, vocab directories, pre-extracted
+feature files, and (optionally) frame JPEGs in exactly the layout the real
+VidSitu release uses (reference: data/DATA_PREP.md, dat_loader.py:140-173).
+Used by the test-suite as the stand-in for the real dataset (which cannot
+be downloaded in a hermetic environment) and by demo/bench tooling.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..tokenization import (
+    Vocabulary,
+    build_vidsitu_gpt2_tokenizer,
+    make_roberta_tokenizer,
+    train_byte_level_bpe,
+)
+
+VERB_POOL = [
+    "speak.01", "walk.01", "open.01", "stare.01", "gesture.01", "drive.01",
+    "look.01", "hold.01", "run.02", "sit.01", "stand.01", "turn.01",
+    "throw.01", "grab.01", "smile.01", "fall.01", "jump.01", "push.01",
+]
+
+NOUN_POOL = [
+    "man", "woman", "dog", "car", "bed", "door", "ball", "child", "group",
+    "soldier", "officer", "girl", "boy", "crowd",
+]
+
+MOD_POOL = ["in a white shirt", "with a hat", "in the park", "near the door", ""]
+
+SCENE_POOL = ["in a home", "in a street", "in a park", "in an office"]
+
+ARG_ROLES = [
+    ("Arg0", 0.9),
+    ("Arg1", 0.8),
+    ("Arg2", 0.3),
+    ("Scene of the Event", 0.85),
+    ("ArgM (direction)", 0.2),
+    ("ArgM (location)", 0.3),
+    ("ArgM (manner)", 0.25),
+    ("ArgM (purpose)", 0.15),
+    ("ArgM (goal)", 0.1),
+]
+
+EVREL_POOL = ["Causes", "Reaction To", "Enables", "NoRel"]
+
+ARG_NAMES_CANON = [
+    "Vb", "Arg0", "Arg1", "Arg2", "Arg3", "Arg4", "AScn", "ALoc", "APrp",
+    "AGol", "ADir", "AMnr",
+]
+
+
+def _phrase(rng: np.random.Generator) -> str:
+    n = NOUN_POOL[rng.integers(len(NOUN_POOL))]
+    m = MOD_POOL[rng.integers(len(MOD_POOL))]
+    det = ["a", "the"][rng.integers(2)]
+    return f"{det} {n} {m}".strip()
+
+
+def _one_event_ann(rng: np.random.Generator, vid_seg: str, ev: int) -> Dict:
+    vb = VERB_POOL[rng.integers(len(VERB_POOL))]
+    args = {}
+    arg_list = {}
+    order = 0
+    for role, p in ARG_ROLES:
+        if rng.random() < p:
+            if role == "Scene of the Event":
+                txt = SCENE_POOL[rng.integers(len(SCENE_POOL))]
+            else:
+                txt = _phrase(rng)
+            args[role] = txt
+            arg_list[role] = str(order)
+            order += 1
+    ann = {
+        "vid_seg_int": vid_seg,
+        "VerbID": vb,
+        "Args": args,
+        "Arg_List": arg_list,
+    }
+    if ev != 3:
+        ann["EvRel"] = EVREL_POOL[rng.integers(len(EVREL_POOL))]
+    return ann
+
+
+def _one_video_ann(rng: np.random.Generator, vid_seg: str) -> Dict:
+    return {f"Ev{ev}": _one_event_ann(rng, vid_seg, ev) for ev in range(1, 6)}
+
+
+def make_synth_dataset(
+    root,
+    n_train: int = 8,
+    n_valid: int = 6,
+    n_test: int = 4,
+    feat_dim: int = 2048,
+    vocab_size: int = 384,
+    seed: int = 0,
+    with_frames: bool = False,
+    frame_hw: int = 32,
+) -> Dict:
+    """Fabricate a full dataset tree under ``root``.
+
+    Returns a dict of config-override paths suitable for
+    ``CfgNode.set_dotted``.
+    """
+    root = Path(root)
+    rng = np.random.default_rng(seed)
+
+    ann_dir = root / "vidsitu_annotations"
+    split_dir = ann_dir / "split_files"
+    vseg_dir = ann_dir / "vseg_ann_files"
+    vinfo_dir = ann_dir / "vinfo_files"
+    vocab_dir = root / "vsitu_vocab"
+    feats_dir = root / "vsitu_vid_feats" / "i3d_synth"
+    frames_dir = root / "vsitu_frames"
+    for d in (split_dir, vseg_dir, vinfo_dir, vocab_dir, feats_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    def seg_names(prefix: str, n: int) -> List[str]:
+        return [f"v_{prefix}_seg_{i:03d}" for i in range(n)]
+
+    splits = {
+        "train": seg_names("trn", n_train),
+        "valid": seg_names("val", n_valid),
+        "test_verb": seg_names("tvb", n_test),
+        "test_srl": seg_names("tsrl", n_test),
+        "test_evrel": seg_names("tevr", n_test),
+    }
+    split_fname = {
+        "train": "vseg_split_train_lb.json",
+        "valid": "vseg_split_valid_lb.json",
+        "test_verb": "vseg_split_testvb_lb.json",
+        "test_srl": "vseg_split_testsrl_lb.json",
+        "test_evrel": "vseg_split_testevrel_lb.json",
+    }
+    ann_fname = {
+        "train": "vsann_train_lb.json",
+        "valid": "vsann_valid_lb.json",
+        "test_verb": "vsann_testvb_lb.json",
+        "test_srl": "vsann_testsrl_lb.json",
+        "test_evrel": "vsann_testevrel_lb.json",
+    }
+    vinfo_fname = {
+        "train": "vinfo_train_lb.json",
+        "valid": "vinfo_valid_lb.json",
+        "test_verb": "vinfo_testvb_lb.json",
+        "test_srl": "vinfo_testsrl_lb.json",
+        "test_evrel": "vinfo_testevrel_lb.json",
+    }
+
+    corpus: List[str] = []
+    for split, segs in splits.items():
+        with open(split_dir / split_fname[split], "w") as f:
+            json.dump(segs, f)
+
+        n_ann_per_seg = 1 if split == "train" else 3
+        ann_lst = []
+        vinfo_lst = []
+        for seg in segs:
+            for _ in range(n_ann_per_seg):
+                ann = _one_video_ann(rng, seg)
+                ann_lst.append(ann)
+                for ev in range(1, 6):
+                    corpus.append(ann[f"Ev{ev}"]["VerbID"])
+                    corpus.extend(ann[f"Ev{ev}"]["Args"].values())
+            # vinfo: 10 verb annotations per event (>=9 asserted by readers)
+            vinfo_lst.append(
+                {
+                    "vid_seg_int": seg,
+                    "vbid_lst": {
+                        f"Ev{ev}": [
+                            VERB_POOL[rng.integers(len(VERB_POOL))]
+                            for _ in range(10)
+                        ]
+                        for ev in range(1, 6)
+                    },
+                }
+            )
+        with open(vseg_dir / ann_fname[split], "w") as f:
+            json.dump(ann_lst, f)
+        with open(vinfo_dir / vinfo_fname[split], "w") as f:
+            json.dump(vinfo_lst, f)
+
+        # pre-extracted features for every segment
+        for seg in segs:
+            feats = rng.standard_normal((5, feat_dim)).astype(np.float32)
+            np.save(feats_dir / f"{seg}_feats.npy", feats)
+
+        if with_frames:
+            from PIL import Image
+
+            for seg in segs:
+                seg_dir = frames_dir / seg
+                seg_dir.mkdir(parents=True, exist_ok=True)
+                for ix in range(1, 301):
+                    arr = rng.integers(
+                        0, 255, size=(frame_hw, frame_hw, 3), dtype=np.uint8
+                    )
+                    Image.fromarray(arr.astype(np.uint8)).save(
+                        seg_dir / f"{seg}_{ix:06d}.jpg"
+                    )
+
+    # ---- vocabularies -------------------------------------------------------
+    verb_voc = Vocabulary.from_symbols(VERB_POOL)
+    verb_voc.save_json(vocab_dir / "verb_id_vocab.json")
+
+    bpe = train_byte_level_bpe(corpus, vocab_size=vocab_size)
+    gpt2_tok = build_vidsitu_gpt2_tokenizer(
+        bpe, verb_ids=VERB_POOL, arg_names=[a for a in ARG_NAMES_CANON if a != "Vb"]
+    )
+    gpt2_tok.save_dir(vocab_dir / "bpe_with_seps_vb_arg_vocab")
+    rob_tok = make_roberta_tokenizer(bpe)
+    rob_tok.save_dir(vocab_dir / "roberta_base_vocab")
+
+    return {
+        "ds.vsitu.split_files_lb.train": str(split_dir / split_fname["train"]),
+        "ds.vsitu.split_files_lb.valid": str(split_dir / split_fname["valid"]),
+        "ds.vsitu.split_files_lb.test_verb": str(split_dir / split_fname["test_verb"]),
+        "ds.vsitu.split_files_lb.test_srl": str(split_dir / split_fname["test_srl"]),
+        "ds.vsitu.split_files_lb.test_evrel": str(
+            split_dir / split_fname["test_evrel"]
+        ),
+        "ds.vsitu.vsitu_ann_files_lb.train": str(vseg_dir / ann_fname["train"]),
+        "ds.vsitu.vsitu_ann_files_lb.valid": str(vseg_dir / ann_fname["valid"]),
+        "ds.vsitu.vsitu_ann_files_lb.test_verb": str(vseg_dir / ann_fname["test_verb"]),
+        "ds.vsitu.vsitu_ann_files_lb.test_srl": str(vseg_dir / ann_fname["test_srl"]),
+        "ds.vsitu.vsitu_ann_files_lb.test_evrel": str(
+            vseg_dir / ann_fname["test_evrel"]
+        ),
+        "ds.vsitu.vinfo_files_lb.train": str(vinfo_dir / vinfo_fname["train"]),
+        "ds.vsitu.vinfo_files_lb.valid": str(vinfo_dir / vinfo_fname["valid"]),
+        "ds.vsitu.vinfo_files_lb.test_verb": str(vinfo_dir / vinfo_fname["test_verb"]),
+        "ds.vsitu.vinfo_files_lb.test_srl": str(vinfo_dir / vinfo_fname["test_srl"]),
+        "ds.vsitu.vinfo_files_lb.test_evrel": str(
+            vinfo_dir / vinfo_fname["test_evrel"]
+        ),
+        "ds.vsitu.vocab_files.verb_id_vocab": str(vocab_dir / "verb_id_vocab.json"),
+        "ds.vsitu.vocab_files.new_gpt2_vb_arg_vocab": str(
+            vocab_dir / "bpe_with_seps_vb_arg_vocab"
+        ),
+        "ds.vsitu.vocab_files.roberta_vocab": str(vocab_dir / "roberta_base_vocab"),
+        "ds.vsitu.vsit_frm_feats_dir": str(feats_dir),
+        "ds.vsitu.video_frms_tdir": str(frames_dir),
+    }
