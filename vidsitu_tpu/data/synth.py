@@ -64,23 +64,36 @@ def _phrase(rng: np.random.Generator) -> str:
     return f"{det} {n} {m}".strip()
 
 
-def _one_event_ann(rng: np.random.Generator, vid_seg: str, ev: int) -> Dict:
+def _event_skeleton(rng: np.random.Generator) -> Dict:
+    """Pick the verb + role set for one event.
+
+    All annotators of a video share this skeleton: the reference's SRL
+    scorer indexes every GT annotator with the same arg keys
+    (evl_fns.py:497), an invariant of the real dataset that synthetic
+    data must respect.
+    """
     vb = VERB_POOL[rng.integers(len(VERB_POOL))]
+    roles = [role for role, p in ARG_ROLES if rng.random() < p]
+    if not roles:
+        roles = ["Arg0"]
+    return {"vb": vb, "roles": roles}
+
+
+def _one_event_ann(
+    rng: np.random.Generator, vid_seg: str, ev: int, skel: Dict
+) -> Dict:
     args = {}
     arg_list = {}
-    order = 0
-    for role, p in ARG_ROLES:
-        if rng.random() < p:
-            if role == "Scene of the Event":
-                txt = SCENE_POOL[rng.integers(len(SCENE_POOL))]
-            else:
-                txt = _phrase(rng)
-            args[role] = txt
-            arg_list[role] = str(order)
-            order += 1
+    for order, role in enumerate(skel["roles"]):
+        if role == "Scene of the Event":
+            txt = SCENE_POOL[rng.integers(len(SCENE_POOL))]
+        else:
+            txt = _phrase(rng)
+        args[role] = txt
+        arg_list[role] = str(order)
     ann = {
         "vid_seg_int": vid_seg,
-        "VerbID": vb,
+        "VerbID": skel["vb"],
         "Args": args,
         "Arg_List": arg_list,
     }
@@ -89,8 +102,13 @@ def _one_event_ann(rng: np.random.Generator, vid_seg: str, ev: int) -> Dict:
     return ann
 
 
-def _one_video_ann(rng: np.random.Generator, vid_seg: str) -> Dict:
-    return {f"Ev{ev}": _one_event_ann(rng, vid_seg, ev) for ev in range(1, 6)}
+def _one_video_ann(
+    rng: np.random.Generator, vid_seg: str, skels: Dict
+) -> Dict:
+    return {
+        f"Ev{ev}": _one_event_ann(rng, vid_seg, ev, skels[f"Ev{ev}"])
+        for ev in range(1, 6)
+    }
 
 
 def make_synth_dataset(
@@ -163,8 +181,9 @@ def make_synth_dataset(
         ann_lst = []
         vinfo_lst = []
         for seg in segs:
+            skels = {f"Ev{ev}": _event_skeleton(rng) for ev in range(1, 6)}
             for _ in range(n_ann_per_seg):
-                ann = _one_video_ann(rng, seg)
+                ann = _one_video_ann(rng, seg, skels)
                 ann_lst.append(ann)
                 for ev in range(1, 6):
                     corpus.append(ann[f"Ev{ev}"]["VerbID"])
