@@ -1,0 +1,101 @@
+"""Frame sampling, decoding and pathway packing (host-side, numpy).
+
+TPU-native layout decision: frames are emitted **channels-last**
+(T, H, W, C) — the canonical JAX/XLA conv layout — instead of the
+reference's torch NCTHW (video_utils.py:41-74). Sampling/normalization
+semantics match the reference exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+from PIL import Image
+
+
+def get_sequence(
+    center_idx: int, half_len: int, sample_rate: int, max_num_frames: int
+) -> List[int]:
+    """64-frame window around the event center, clamped to [0, max)
+    (reference: utils/video_utils.py:18-38)."""
+    seq = list(range(center_idx - half_len, center_idx + half_len, sample_rate))
+    return [min(max(ix, 0), max_num_frames - 1) for ix in seq]
+
+
+def read_img(img_fpath, out_hw: int = 224) -> np.ndarray:
+    """JPEG -> RGB uint8 (H, W, C), resized (reference: dat_loader.py:183-191)."""
+    img = Image.open(img_fpath).convert("RGB")
+    img = img.resize((out_hw, out_hw))
+    return np.asarray(img)
+
+
+def normalize_frames(frames: np.ndarray, mean, std) -> np.ndarray:
+    """uint8 (T,H,W,C) -> float32 normalized (video_utils.py:147-164)."""
+    x = frames.astype(np.float32) / 255.0
+    mean = np.asarray(mean, dtype=np.float32)
+    std = np.asarray(std, dtype=np.float32)
+    return (x - mean) / std
+
+
+def pack_pathways(frames: np.ndarray, vid_cfg) -> Dict[str, np.ndarray]:
+    """Split a (T,H,W,C) clip into pathway dict.
+
+    slowfast: fast = all T frames, slow = every alpha-th frame
+    (video_utils.py:41-74); single-pathway archs: fast only.
+    """
+    if vid_cfg.reverse_input_channel:
+        frames = frames[..., ::-1]
+    if vid_cfg.arch == "slowfast":
+        alpha = vid_cfg.slowfast.alpha
+        t = frames.shape[0]
+        idx = np.linspace(0, t - 1, t // alpha).astype(np.int64)
+        return {"slow": frames[idx], "fast": frames}
+    return {"fast": frames}
+
+
+def load_event_clips(
+    frm_dir,
+    vid_seg_name: str,
+    cent_frm_per_ev: Dict[str, int],
+    frm_seq_len: int,
+    sampling_rate: int,
+    vid_cfg,
+    max_frms: int = 300,
+    out_hw: int = 224,
+) -> Dict[str, np.ndarray]:
+    """Read + normalize + pack the 5 event windows of one video segment.
+
+    Output: {"frms_ev_fast_tensor": (5, Tf, H, W, 3) float32,
+             optionally "frms_ev_slow_tensor": (5, Ts, H, W, 3)}.
+    (reference: dat_loader.py:454-501, channels-last here)
+    """
+    fast_lst = []
+    slow_lst = []
+    for ev in range(1, 6):
+        center_ix = cent_frm_per_ev[f"Ev{ev}"]
+        idxs = get_sequence(
+            center_idx=center_ix,
+            half_len=frm_seq_len // 2,
+            sample_rate=sampling_rate,
+            max_num_frames=max_frms,
+        )
+        frms = np.stack(
+            [
+                read_img(
+                    f"{frm_dir}/{vid_seg_name}/{vid_seg_name}_{ix + 1:06d}.jpg",
+                    out_hw=out_hw,
+                )
+                for ix in idxs
+            ]
+        )
+        frms = normalize_frames(frms, vid_cfg.mean, vid_cfg.std)
+        paths = pack_pathways(frms, vid_cfg)
+        fast_lst.append(paths["fast"])
+        if "slow" in paths:
+            slow_lst.append(paths["slow"])
+
+    out = {"frms_ev_fast_tensor": np.stack(fast_lst).astype(np.float32)}
+    if slow_lst:
+        out["frms_ev_slow_tensor"] = np.stack(slow_lst).astype(np.float32)
+    return out
