@@ -9,7 +9,9 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the shell pre-sets JAX_PLATFORMS=axon (tunneled TPU) where
+# every op dispatch is a network roundtrip — unusable for a test suite.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,3 +21,14 @@ if "xla_force_host_platform_device_count" not in flags:
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
+
+import jax  # noqa: E402  (after env setup)
+
+# The sitecustomize in /root/.axon_site materializes jax_platforms=axon
+# before test code runs, so the env var alone is not enough.
+jax.config.update("jax_platforms", "cpu")
+
+# XLA:CPU's batched-GEMM fast path is low precision (observed ~1e-1 abs
+# error at K=512) — force full-precision matmuls so numeric parity tests
+# are meaningful. TPU runs control precision explicitly per-op.
+jax.config.update("jax_default_matmul_precision", "highest")
