@@ -1,0 +1,180 @@
+"""Beam search tests against hand-rolled references and toy models."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vidsitu_tpu.gen.beam import GenConfig, beam_search, tile_for_beams
+from vidsitu_tpu.models.transformer import TransformerDecoder, TxConfig
+
+V = 20
+EOS, PAD, BOS = 2, 0, 2  # bos==eos like the reference GPT-2 setup
+MAXLEN = 10
+
+
+def toy_step_fn(table):
+    """Deterministic logits depending only on the previous token."""
+    tbl = jnp.asarray(table, jnp.float32)
+
+    def step(last_tok, t, cache):
+        return tbl[last_tok[:, 0]], cache
+
+    return step
+
+
+def chain_table(chain, end_at=None):
+    """Token i -> strongly prefer chain[i]; optionally prefer EOS at chain end."""
+    tbl = np.full((V, V), -10.0, np.float32)
+    for a, b in chain:
+        tbl[a, b] = 10.0
+    return tbl
+
+
+def test_greedy_follows_argmax_chain():
+    # bos(2) -> 5 -> 6 -> 7 -> eos
+    tbl = chain_table([(2, 5), (5, 6), (6, 7), (7, EOS)])
+    seqs, scores, lens = jax.jit(
+        lambda: beam_search(
+            toy_step_fn(tbl), {}, batch_size=1, max_len=MAXLEN,
+            bos_id=BOS, eos_id=EOS, pad_id=PAD, vocab_size=V,
+            gen_cfg=GenConfig(beam_size=1),
+        )
+    )()
+    out = np.asarray(seqs)[0, 0]
+    assert out[:4].tolist() == [5, 6, 7, EOS]
+    assert (out[4:] == PAD).all()
+    assert int(lens[0, 0]) == 4
+
+
+def test_prefix_forcing():
+    tbl = chain_table([(2, 5), (5, 6), (6, 7), (7, EOS), (9, 4), (4, EOS)])
+    prefix = jnp.array([[9]], jnp.int32)
+    seqs, _, _ = jax.jit(
+        lambda: beam_search(
+            toy_step_fn(tbl), {}, 1, MAXLEN, BOS, EOS, PAD, V,
+            GenConfig(beam_size=1), prefix_tokens=prefix,
+        )
+    )()
+    out = np.asarray(seqs)[0, 0]
+    # forced 9 even though argmax from bos is 5; then follows chain from 9
+    assert out[:3].tolist() == [9, 4, EOS]
+
+
+def test_min_len_blocks_eos():
+    tbl = chain_table([(2, EOS), (EOS, EOS)])  # model wants to stop instantly
+    tbl[2, 5] = 5.0
+    tbl[5, EOS] = 8.0
+    tbl[5, 6] = 5.0
+    tbl[6, EOS] = 8.0
+    seqs, _, lens = jax.jit(
+        lambda: beam_search(
+            toy_step_fn(tbl), {}, 1, MAXLEN, BOS, EOS, PAD, V,
+            GenConfig(beam_size=1, min_len=2),
+        )
+    )()
+    out = np.asarray(seqs)[0, 0]
+    assert out[0] != EOS and out[1] != EOS
+    assert EOS in out.tolist()
+
+
+def test_no_repeat_ngram():
+    # cycle 5 -> 6 -> 5 -> 6 ... would repeat bigram (5,6)
+    tbl = chain_table([(2, 5), (5, 6), (6, 5)])
+    tbl[6, 7] = 8.0  # second-best escape
+    tbl[7, EOS] = 10.0
+    tbl[5, EOS] = -20.0
+    cfg = GenConfig(beam_size=1, no_repeat_ngram_size=2)
+    seqs, _, _ = jax.jit(
+        lambda: beam_search(toy_step_fn(tbl), {}, 1, MAXLEN, BOS, EOS, PAD, V, cfg)
+    )()
+    out = np.asarray(seqs)[0, 0].tolist()
+    # without the constraint: 5 6 5 6 5 6... With it, the second (5,6) is
+    # banned: after ...5 the token 6 is masked.
+    bigrams = [(out[i], out[i + 1]) for i in range(len(out) - 1)]
+    assert len([b for b in bigrams if b == (5, 6)]) <= 1
+
+
+def test_batched_independent_rows():
+    tbl = chain_table([(2, 5), (5, EOS), (2, 5)])
+    tbl2 = chain_table([(2, 7), (7, 8), (8, EOS)])
+    # one shared table can't differ per row; instead run rows separately and
+    # check batching ~ vmap semantics via prefix forcing different rows
+    prefix = jnp.array([[5], [7]], jnp.int32)
+    tbl3 = chain_table([(5, 9), (9, EOS), (7, 8), (8, EOS)])
+    seqs, _, _ = jax.jit(
+        lambda: beam_search(
+            toy_step_fn(tbl3), {}, 2, MAXLEN, BOS, EOS, PAD, V,
+            GenConfig(beam_size=1), prefix_tokens=prefix,
+        )
+    )()
+    out = np.asarray(seqs)
+    assert out[0, 0, :3].tolist() == [5, 9, EOS]
+    assert out[1, 0, :3].tolist() == [7, 8, EOS]
+
+
+def test_beam2_scores_sorted_and_eos_terminated():
+    rng = np.random.default_rng(0)
+    tbl = rng.normal(0, 2, size=(V, V)).astype(np.float32)
+    tbl[:, PAD] = -50
+    seqs, scores, lens = jax.jit(
+        lambda: beam_search(
+            toy_step_fn(tbl), {}, 2, MAXLEN, BOS, EOS, PAD, V,
+            GenConfig(beam_size=2),
+        )
+    )()
+    sc = np.asarray(scores)
+    assert (sc[:, 0] >= sc[:, 1]).all()
+    out = np.asarray(seqs)
+    ln = np.asarray(lens)
+    for b in range(2):
+        for kk in range(2):
+            l = ln[b, kk]
+            if l < MAXLEN:  # finished with eos
+                assert out[b, kk, l - 1] == EOS
+                assert (out[b, kk, l:] == PAD).all()
+
+
+def test_beam_with_real_decoder_matches_stepwise_greedy():
+    """beam=1 through the real decoder == manual argmax loop on decode_step."""
+    cfg = TxConfig(vocab_size=V, d_model=16, ffn_dim=32, n_layers=2, n_heads=2,
+                   dropout=0.0, max_len=MAXLEN + 2, pad_id=PAD)
+    dec = TransformerDecoder(cfg, has_cross=True)
+    B = 2
+    rg = np.random.default_rng(3)
+    enc = jnp.asarray(rg.standard_normal((B, 4, cfg.d_model)), jnp.float32)
+    toks0 = jnp.full((B, 1), BOS, jnp.int32)
+    variables = jax.jit(dec.init)(jax.random.PRNGKey(0), jnp.ones((B, 4), jnp.int32), enc)
+
+    build = jax.jit(lambda e, n: dec.apply(
+        variables, n, cfg.max_len, e, method=TransformerDecoder.build_cache),
+        static_argnums=1)
+    step = jax.jit(lambda tk, p, c: dec.apply(
+        variables, tk, p, c, method=TransformerDecoder.decode_step))
+
+    # manual greedy
+    cache = build(enc, B)
+    tok = toks0
+    manual = []
+    for t in range(MAXLEN):
+        lg, cache = step(tok, jnp.asarray(t, jnp.int32), cache)
+        tok = jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32)[:, None]
+        manual.append(np.asarray(tok[:, 0]))
+    manual = np.stack(manual, 1)  # (B, maxlen)
+
+    # beam_search greedy
+    def step_fn(last_tok, t, c):
+        lg, c2 = step(last_tok, t, c)
+        return lg[:, 0], c2
+
+    seqs, _, _ = beam_search(
+        step_fn, build(enc, B), B, MAXLEN, BOS, EOS, PAD, V,
+        GenConfig(beam_size=1),
+    )
+    got = np.asarray(seqs)[:, 0]
+    for b in range(B):
+        row = manual[b]
+        stop = np.where(row == EOS)[0]
+        n = (stop[0] + 1) if len(stop) else MAXLEN
+        np.testing.assert_array_equal(got[b, :n], row[:n])
+        assert (got[b, n:] == PAD).all()

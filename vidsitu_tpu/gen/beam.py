@@ -1,0 +1,299 @@
+"""Fixed-shape beam search / greedy decoding under XLA.
+
+TPU-native re-derivation of the reference's fairseq ``SeqGenCustom``
+(vidsitu_code/seq_gen.py:190-772). Fairseq shrinks the batch as sentences
+finish and keeps per-sentence hypothesis lists — shapes XLA cannot
+compile. Here the whole search is a ``lax.while_loop`` over static
+shapes with a dual beam state (alive / finished), the standard XLA
+formulation:
+
+  * alive beams extend by raw cumulative log-prob;
+  * candidates that emit EOS move to the finished set, scored by
+    fairseq's normalization ``score / (step + 1) ** len_penalty``
+    (seq_gen.py:625-626);
+  * early exit when no alive beam can still beat the worst finished
+    hypothesis (replaces fairseq's batch shrinking).
+
+Feature parity with ``cfg.gen``: beam_size, max_len_b, min_len,
+normalize_scores, len_penalty, unk_penalty, temperature, prefix forcing
+(seq_gen.py:546-573), no_repeat_ngram_size (seq_gen.py:739-772).
+Greedy (beam=1) matches the reference exactly; for beam>1 tie-breaking
+may differ from fairseq's 2*beam candidate scheme.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9
+
+
+@dataclass(frozen=True)
+class GenConfig:
+    """Mirror of cfg.gen (configs/vsitu_cfg.yml:76-85)."""
+
+    beam_size: int = 1
+    max_len_a: int = 0
+    max_len_b: int = 200
+    min_len: int = 0
+    normalize_scores: bool = True
+    len_penalty: float = 1.0
+    unk_penalty: float = 0.0
+    temperature: float = 1.0
+    no_repeat_ngram_size: int = 0
+
+    @classmethod
+    def from_cfg(cls, gen_cfg) -> "GenConfig":
+        return cls(
+            beam_size=int(gen_cfg.beam_size),
+            max_len_a=int(gen_cfg.max_len_a),
+            max_len_b=int(gen_cfg.max_len_b),
+            min_len=int(gen_cfg.min_len),
+            normalize_scores=bool(gen_cfg.normalize_scores),
+            len_penalty=float(gen_cfg.len_penalty),
+            unk_penalty=float(gen_cfg.unk_penalty),
+            temperature=float(gen_cfg.temperature),
+            no_repeat_ngram_size=int(gen_cfg.no_repeat_ngram_size),
+        )
+
+
+def tile_for_beams(tree: Any, beam_size: int) -> Any:
+    """Repeat every leaf along axis 0: (B, ...) -> (B*beam, ...).
+
+    Row order is [b0 x beam, b1 x beam, ...], matching
+    fairseq's reorder convention (seq_gen.py:253-255).
+    """
+    return jax.tree.map(
+        lambda x: jnp.repeat(x, beam_size, axis=0), tree
+    )
+
+
+def _gather_beams(tree: Any, beam_idx: jnp.ndarray, batch: int, beam: int):
+    """Select beams: leaf (B*K, ...) -> rows beam_idx (B, K) within batch."""
+
+    def gather(x):
+        xs = x.reshape((batch, beam) + x.shape[1:])
+        return jnp.take_along_axis(
+            xs,
+            beam_idx.reshape((batch, beam) + (1,) * (x.ndim - 1)),
+            axis=1,
+        ).reshape((batch * beam,) + x.shape[1:])
+
+    return jax.tree.map(gather, tree)
+
+
+def _banned_ngram_mask(
+    seqs: jnp.ndarray, t: jnp.ndarray, n: int, vocab: int
+) -> jnp.ndarray:
+    """(R, L) sequences -> (R, V) mask, NEG_INF where the token would
+    complete an n-gram already present (fairseq no_repeat_ngram)."""
+    r, l = seqs.shape
+    m = n - 1
+    # current (n-1)-gram ending at position t: seqs[:, t-m+1 : t+1]
+    cur = jax.lax.dynamic_slice(
+        seqs, (0, jnp.maximum(t - m + 1, 0)), (r, m)
+    )  # (R, m)
+    # all historical windows starting at p: gram seqs[:, p:p+m], next seqs[:, p+m]
+    num_p = l - m
+    grams = jnp.stack([seqs[:, p : p + m] for p in range(num_p)], axis=1)
+    nexts = jnp.stack([seqs[:, p + m] for p in range(num_p)], axis=1)
+    p_idx = jnp.arange(num_p)
+    valid = (p_idx + m <= t) & (t - m + 1 >= 0)
+    match = jnp.all(grams == cur[:, None, :], axis=-1) & valid[None, :]
+    banned = jnp.zeros((r, vocab), bool)
+    onehot = jax.nn.one_hot(nexts, vocab, dtype=bool)
+    banned = jnp.any(onehot & match[:, :, None], axis=1)
+    return jnp.where(banned, NEG_INF, 0.0)
+
+
+def beam_search(
+    step_fn: Callable[[jnp.ndarray, jnp.ndarray, Any], Tuple[jnp.ndarray, Any]],
+    init_cache: Any,
+    batch_size: int,
+    max_len: int,
+    bos_id: int,
+    eos_id: int,
+    pad_id: int,
+    vocab_size: int,
+    gen_cfg: GenConfig = GenConfig(),
+    prefix_tokens: Optional[jnp.ndarray] = None,
+    unk_id: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run beam search.
+
+    Args:
+      step_fn: (last_tokens (B*K, 1), position scalar, cache) ->
+               (logits (B*K, V) or (B*K, 1, V), new cache). The cache must
+               already be tiled to B*K rows (see ``tile_for_beams``).
+      prefix_tokens: (B, P) forced first tokens (verb forcing in SRL decode).
+
+    Returns:
+      seqs:    (B, K, max_len) generated tokens (bos stripped), pad after eos
+      scores:  (B, K) final (normalized if configured) scores, sorted desc
+      lengths: (B, K) generated lengths incl. eos
+    """
+    k = gen_cfg.beam_size
+    lp = gen_cfg.len_penalty
+    rows = batch_size * k
+    seq_len = max_len + 1  # slot 0 is bos
+
+    alive_seq = jnp.full((rows, seq_len), pad_id, jnp.int32)
+    alive_seq = alive_seq.at[:, 0].set(bos_id)
+    alive_scores = jnp.tile(
+        jnp.array([0.0] + [NEG_INF] * (k - 1), jnp.float32), (batch_size,)
+    ).reshape(batch_size, k)
+    fin_seq = jnp.full((batch_size, k, seq_len), pad_id, jnp.int32)
+    fin_scores = jnp.full((batch_size, k), NEG_INF, jnp.float32)
+    fin_lens = jnp.zeros((batch_size, k), jnp.int32)
+
+    if prefix_tokens is not None:
+        prefix_tokens = jnp.asarray(prefix_tokens, jnp.int32)
+        prefix_len = prefix_tokens.shape[1]
+    else:
+        prefix_len = 0
+
+    def norm(score, length):
+        if not gen_cfg.normalize_scores:
+            return score
+        return score / (length.astype(jnp.float32) ** lp)
+
+    def cond(state):
+        t, _, alive_scores_, _, _, fin_scores_, _ = state
+        if gen_cfg.normalize_scores and lp > 0:
+            best_alive = alive_scores_.max(axis=1) / (float(max_len) ** lp)
+        else:
+            best_alive = alive_scores_.max(axis=1)
+        worst_fin = fin_scores_.min(axis=1)
+        done = jnp.all(
+            (worst_fin >= best_alive) | (worst_fin > NEG_INF / 2)
+        )
+        return (t < max_len) & (~done)
+
+    def body(state):
+        t, alive_seq_, alive_scores_, cache, fin_seq_, fin_scores_, fin_lens_ = (
+            state
+        )
+        last_tok = jax.lax.dynamic_slice(alive_seq_, (0, t), (rows, 1))
+        logits, cache = step_fn(last_tok, t, cache)
+        logits = logits.reshape(rows, vocab_size).astype(jnp.float32)
+        if gen_cfg.temperature != 1.0:
+            logits = logits / gen_cfg.temperature
+        lprobs = jax.nn.log_softmax(logits, axis=-1)
+        lprobs = lprobs.at[:, pad_id].set(NEG_INF)
+        # a sentence with k finalized hypotheses is done (fairseq finalizes
+        # at most beam_size hypos then drops the sentence, seq_gen.py:430-464)
+        batch_done = jnp.all(fin_scores_ > NEG_INF / 2, axis=1)  # (B,)
+        lprobs = jnp.where(
+            jnp.repeat(batch_done, k)[:, None], NEG_INF, lprobs
+        )
+        if unk_id is not None and gen_cfg.unk_penalty != 0.0:
+            lprobs = lprobs.at[:, unk_id].add(-gen_cfg.unk_penalty)
+        if gen_cfg.min_len > 0:
+            lprobs = jnp.where(
+                (t < gen_cfg.min_len)
+                & (jnp.arange(vocab_size) == eos_id)[None, :],
+                NEG_INF,
+                lprobs,
+            )
+        if gen_cfg.no_repeat_ngram_size > 0:
+            lprobs = lprobs + _banned_ngram_mask(
+                alive_seq_, t, gen_cfg.no_repeat_ngram_size, vocab_size
+            )
+        if prefix_len > 0:
+            # force prefix token at steps t < prefix_len (seq_gen.py:546-573)
+            ptok = jax.lax.dynamic_slice(
+                prefix_tokens, (0, jnp.minimum(t, prefix_len - 1)), (batch_size, 1)
+            )  # (B, 1)
+            ptok_rows = jnp.repeat(ptok, k, axis=0)  # (B*K, 1)
+            forced = jnp.where(
+                jnp.arange(vocab_size)[None, :] == ptok_rows, lprobs, NEG_INF
+            )
+            lprobs = jnp.where(t < prefix_len, forced, lprobs)
+
+        cand = alive_scores_.reshape(rows, 1) + lprobs  # (B*K, V)
+        cand = cand.reshape(batch_size, k * vocab_size)
+        # top 2K candidates so EOS picks cannot starve the alive set
+        top_scores, top_idx = jax.lax.top_k(cand, 2 * k)
+        beam_idx = top_idx // vocab_size  # (B, 2K)
+        tok_idx = top_idx % vocab_size
+
+        # grow sequences: gather source rows for the 2K candidates
+        src = alive_seq_.reshape(batch_size, k, seq_len)
+        grown = jnp.take_along_axis(
+            src, beam_idx[:, :, None], axis=1
+        )  # (B, 2K, L)
+        grown = jax.lax.dynamic_update_slice(
+            grown, tok_idx[:, :, None].astype(jnp.int32), (0, 0, t + 1)
+        )
+
+        is_eos = tok_idx == eos_id
+
+        # ---- finished update ------------------------------------------------
+        eos_norm = norm(top_scores, t + 1)
+        eos_scores = jnp.where(is_eos, eos_norm, NEG_INF)
+        all_fin_scores = jnp.concatenate([fin_scores_, eos_scores], axis=1)
+        all_fin_seq = jnp.concatenate(
+            [fin_seq_, grown], axis=1
+        )
+        all_fin_lens = jnp.concatenate(
+            [fin_lens_, jnp.full(eos_scores.shape, t + 1, jnp.int32)],
+            axis=1,
+        )
+        new_fin_scores, fin_sel = jax.lax.top_k(all_fin_scores, k)
+        new_fin_seq = jnp.take_along_axis(
+            all_fin_seq, fin_sel[:, :, None], axis=1
+        )
+        new_fin_lens = jnp.take_along_axis(all_fin_lens, fin_sel, axis=1)
+
+        # ---- alive update ----------------------------------------------------
+        alive_cand = jnp.where(is_eos, NEG_INF, top_scores)
+        new_alive_scores, alive_sel = jax.lax.top_k(alive_cand, k)
+        new_alive_seq = jnp.take_along_axis(
+            grown, alive_sel[:, :, None], axis=1
+        ).reshape(rows, seq_len)
+        # cache rows follow their beams
+        orig_beam = jnp.take_along_axis(beam_idx, alive_sel, axis=1)  # (B,K)
+        cache = _gather_beams(cache, orig_beam, batch_size, k)
+
+        return (
+            t + 1,
+            new_alive_seq,
+            new_alive_scores,
+            cache,
+            new_fin_seq,
+            new_fin_scores,
+            new_fin_lens,
+        )
+
+    state = (
+        jnp.asarray(0, jnp.int32),
+        alive_seq,
+        alive_scores,
+        init_cache,
+        fin_seq,
+        fin_scores,
+        fin_lens,
+    )
+    t, alive_seq, alive_scores, _, fin_seq, fin_scores, fin_lens = (
+        jax.lax.while_loop(cond, body, state)
+    )
+
+    # finalize still-alive beams (no eos emitted) at final length
+    alive_norm = norm(alive_scores, jnp.maximum(t, 1))
+    all_scores = jnp.concatenate([fin_scores, alive_norm], axis=1)
+    all_seq = jnp.concatenate(
+        [fin_seq, alive_seq.reshape(batch_size, k, seq_len)], axis=1
+    )
+    all_lens = jnp.concatenate(
+        [fin_lens, jnp.full((batch_size, k), t, jnp.int32)], axis=1
+    )
+    final_scores, sel = jax.lax.top_k(all_scores, k)
+    final_seq = jnp.take_along_axis(all_seq, sel[:, :, None], axis=1)
+    final_lens = jnp.take_along_axis(all_lens, sel, axis=1)
+
+    return final_seq[:, :, 1:], final_scores, final_lens
