@@ -1,0 +1,129 @@
+"""CLI entry point: ``python main.py <uid> --key=val ...``
+
+Mirrors the reference command surface (main_dist.py:132-172): a unique
+experiment id plus dotted-key config overrides; re-running with the same
+uid resumes from the saved model. Distribution is TPU-native: one process
+per host, a data-parallel mesh over all devices (no spawn / NCCL).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Any, Dict
+
+import jax
+
+# The baked sitecustomize pins jax to the tunneled TPU; allow explicit
+# platform selection for CPU smoke runs (JAX_PLATFORMS env is overridden
+# by the axon plugin, so a config update is the only reliable switch).
+if os.environ.get("VIDSITU_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["VIDSITU_PLATFORM"])
+
+
+def parse_cli(argv) -> (str, Dict[str, Any]):
+    if len(argv) < 1 or argv[0].startswith("--"):
+        raise SystemExit(
+            "usage: python main.py <uid> [--dotted.key=value ...]"
+        )
+    uid = argv[0]
+    overrides: Dict[str, Any] = {}
+    for arg in argv[1:]:
+        assert arg.startswith("--") and "=" in arg, f"bad arg {arg}"
+        key, val = arg[2:].split("=", 1)
+        overrides[key] = val
+    return uid, overrides
+
+
+def main_fn(cfg, uid: str):
+    from vidsitu_tpu.data import get_data
+    from vidsitu_tpu.evaluation.evaluators import EvalB_Gen
+    from vidsitu_tpu.models.selector import (
+        build_model,
+        build_srl_generate_fn,
+        init_model_variables,
+    )
+    from vidsitu_tpu.train.learner import Learner
+
+    data = get_data(
+        cfg,
+        num_shards=jax.process_count(),
+        shard_id=jax.process_index(),
+    )
+    comm = data.train_dl.dataset.comm
+    model = build_model(cfg, comm)
+    batch = next(iter(data.train_dl))
+    variables = init_model_variables(model, batch, seed=cfg.train.seed)
+
+    if cfg.task_type == "vb_arg":
+        gen_fn = build_srl_generate_fn(cfg, comm, model)
+        eval_fn = EvalB_Gen(
+            cfg, comm, gen_fn,
+            split_type="valid" if not cfg.only_test else "test_srl",
+            rank=jax.process_index(), world_size=jax.process_count(),
+        )
+    elif cfg.task_type == "vb":
+        from vidsitu_tpu.evaluation.evaluators import EvalB
+
+        eval_fn = EvalB(
+            cfg, comm, model,
+            split_type="valid" if not cfg.only_test else "test_verb",
+            rank=jax.process_index(), world_size=jax.process_count(),
+        )
+    elif cfg.task_type == "evrel":
+        from vidsitu_tpu.evaluation.evaluators import EvalB_Acc
+
+        eval_fn = EvalB_Acc(
+            cfg, comm, model,
+            split_type="valid" if not cfg.only_test else "test_evrel",
+            rank=jax.process_index(), world_size=jax.process_count(),
+        )
+    else:
+        raise NotImplementedError(cfg.task_type)
+
+    learner = Learner(
+        uid=uid, cfg=cfg, model=model, variables=variables, data=data,
+        eval_fn=eval_fn,
+    )
+
+    if not (cfg.only_val or cfg.only_test or cfg.overfit_batch):
+        learner.fit(epochs=cfg.train.epochs, lr=cfg.train.lr)
+        if cfg.run_final_val:
+            print("Running Final Validation using best model")
+            learner.load_model_dict(str(learner.model_file), load_opt=False)
+            val_loss, val_acc, _ = learner.validate(write_to_file=True)
+            print(val_loss)
+            print(val_acc)
+    else:
+        if cfg.overfit_batch:
+            learner.overfit_batch(cfg.train.epochs, 1e-4)
+        if cfg.only_val:
+            val_loss, val_acc, _ = learner.validate(write_to_file=True)
+            print(val_loss)
+            print(val_acc)
+        if cfg.only_test:
+            test_loss, test_acc, _ = learner.validate(
+                db={cfg.test_dl_name: data.test_dl}, write_to_file=True
+            )
+            print(test_loss)
+            print(test_acc)
+
+
+def main(argv=None):
+    from vidsitu_tpu.utils.config import CfgProcessor
+
+    uid, overrides = parse_cli(argv if argv is not None else sys.argv[1:])
+    cp = CfgProcessor()
+    cfg = cp.get_default_cfg()
+    cfg = cp.pre_proc_config(cfg, overrides)
+    cfg = cp.update_from_dict(cfg, overrides)
+    cfg["uid"] = uid
+    cfg["cmd_str"] = " ".join(sys.argv)
+    cfg["num_gpus"] = jax.device_count()
+    cfg.freeze()
+    print(CfgProcessor.to_str(cfg))
+    main_fn(cfg, uid)
+
+
+if __name__ == "__main__":
+    main()

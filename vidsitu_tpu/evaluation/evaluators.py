@@ -1,0 +1,116 @@
+"""In-loop evaluators: decode/score during validation
+(reference: vidsitu_code/evl_vsitu.py).
+
+Each evaluator is a callable ``(variables, dl, dl_name, pred_path,
+write_to_file) -> (loss_dict, metric_dict)`` handed to the Learner. They
+run the jitted forward/generate path over the loader, assemble
+leaderboard-format prediction lists, write ``{dl_name}_{rank}.pkl``, and
+score through evl_fns.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.io import write_pickle
+from .evl_fns import EvalFnCap, EvlFn_EvRel, EvlFn_Vb
+
+
+def pad_batch_to(batch: Dict[str, np.ndarray], size: int) -> Dict[str, np.ndarray]:
+    """Repeat the last row so every batch has a static shape (the
+    duplicated ann_idx rows are deduped by the scorers)."""
+    b = next(iter(batch.values())).shape[0]
+    if b == size:
+        return batch
+    reps = size - b
+    return {
+        k: np.concatenate([v, np.repeat(v[-1:], reps, axis=0)], axis=0)
+        for k, v in batch.items()
+    }
+
+
+def conv_seq_to_srl(inp_seq: str, ag_start_values) -> Dict[str, str]:
+    """Parse 'vb <ArgX> text <ArgY> text...' (evl_vsitu.py:174-194)."""
+    inp_tok_lst = inp_seq.split(" ")
+    if "." not in inp_tok_lst[0]:
+        return {}
+    vb_dct = {"vb_id": inp_tok_lst[0]}
+    ix = 1
+    curr_str_lst: List[str] = []
+    curr_arg_name = ""
+    while ix < len(inp_tok_lst):
+        if inp_tok_lst[ix] not in ag_start_values:
+            curr_str_lst.append(inp_tok_lst[ix])
+        else:
+            if ix > 1:
+                vb_dct[curr_arg_name] = " ".join(curr_str_lst)
+            curr_arg_name = inp_tok_lst[ix].split("<", 1)[1].rsplit(">", 1)[0]
+            curr_str_lst = []
+        ix += 1
+    vb_dct[curr_arg_name] = " ".join(curr_str_lst)
+    return vb_dct
+
+
+class EvalB_Gen:
+    """SRL generation evaluator (evl_vsitu.py:148-214)."""
+
+    met_keys = ["cider", "rouge", "lea", "MacroVb_cider", "MacroArg_cider"]
+
+    def __init__(self, cfg, comm, generate_fn, split_type: str = "valid",
+                 rank: int = 0, world_size: int = 1):
+        self.cfg = cfg
+        self.comm = comm
+        self.generate_fn = generate_fn
+        self.split_type = split_type
+        self.rank = rank
+        self.world_size = world_size
+        self.evl_met = EvalFnCap(
+            cfg, comm, met_keys=["cider", "bleu", "rouge"]
+        )
+        self.loss_keys = ["loss"]
+
+    def decode_batch(self, out_sents: np.ndarray, ann_lst: np.ndarray) -> List[Dict]:
+        wvoc = self.comm.gpt2_hf_tok
+        ag_starts = set(self.comm.ag_name_dct.ag_dct_start.values())
+        ev_lst = [f"Ev{ix}" for ix in range(1, 6)]
+        out = []
+        for bix in range(out_sents.shape[0]):
+            out_vb_dct = {}
+            for ev_ix, ev_in in enumerate(ev_lst):
+                toks = out_sents[bix, ev_ix, 0]
+                text = wvoc.decode(toks, skip_special_tokens=True)
+                out_vb_dct[ev_in] = conv_seq_to_srl(text, ag_starts)
+            out.append(
+                {"ann_idx": int(ann_lst[bix]), "vb_output": out_vb_dct}
+            )
+        return out
+
+    def __call__(self, variables, dl, dl_name, pred_path, write_to_file=True):
+        results: List[Dict] = []
+        bsv = dl.batch_size
+        for batch in dl:
+            padded = pad_batch_to(batch, bsv)
+            out_sents = np.asarray(
+                self.generate_fn(variables, {
+                    k: jnp.asarray(v) for k, v in padded.items()
+                })
+            )
+            results += self.decode_batch(out_sents, padded["vseg_idx"])
+        # dedup padded duplicates, keep first per ann_idx
+        seen = set()
+        uniq = []
+        for r in results:
+            if r["ann_idx"] not in seen:
+                seen.add(r["ann_idx"])
+                uniq.append(r)
+        fname = Path(pred_path) / f"{dl_name}_{self.rank}.pkl"
+        write_pickle(uniq, fname)
+        out_acc = self.evl_met.eval_cap_mets(
+            str(fname), split_type=self.split_type
+        )
+        val_acc = {k: float(out_acc[k]) for k in self.met_keys if k in out_acc}
+        return {"loss": 0.0}, val_acc

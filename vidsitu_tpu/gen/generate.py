@@ -1,0 +1,81 @@
+"""Task-level generation wrappers (reference: forward_gen methods +
+EvalB_Gen wiring, mdl_sf_base.py:657-675, evl_vsitu.py:159-214)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..models.srl_models import SRLModel
+from .beam import GenConfig, beam_search, tile_for_beams
+
+SRL_DECODE_LEN = 60  # per-event role sequences are trained at 60 tokens
+
+
+def make_srl_generator(
+    model: SRLModel,
+    gen_cfg: GenConfig,
+    vocab_size: int,
+    pad_id: int,
+    bos_id: int,
+    eos_id: int,
+    unk_id=None,
+    max_len: int = SRL_DECODE_LEN,
+) -> Callable[[Any, Dict[str, jnp.ndarray]], jnp.ndarray]:
+    """Build a jitted generate(variables, inp) -> (B, 5, 1, max_len).
+
+    Decoding is verb-forced: the first generated token is the event's
+    verb id, as in the reference (prefix_tokens, mdl_sf_base.py:660-663).
+    """
+    max_len = min(max_len, gen_cfg.max_len_b) if gen_cfg.max_len_b > 0 else max_len
+    k = gen_cfg.beam_size
+
+    @jax.jit
+    def generate(variables, inp):
+        toks = inp["seq_out_by_ev"][:, :, 0, :]
+        b = toks.shape[0]
+        rows = b * 5
+        prefix = toks.reshape(rows, -1)[:, :1].astype(jnp.int32)
+
+        enc_out, enc_mask = model.apply(
+            variables, inp, method=SRLModel.gen_encode
+        )
+        if enc_out is not None:
+            enc_out = tile_for_beams(enc_out, k)
+        enc_mask_t = tile_for_beams(enc_mask, k) if enc_mask is not None else None
+
+        cache = model.apply(
+            variables, rows * k, max_len + 1, enc_out,
+            method=SRLModel.gen_build_cache,
+        )
+
+        def step_fn(last_tok, pos, cache_):
+            from ..models.common import make_padding_mask
+
+            m = make_padding_mask(enc_mask_t) if enc_mask_t is not None else None
+            logits, cache2 = model.apply(
+                variables, last_tok, pos, cache_, m,
+                method=SRLModel.gen_decode_step,
+            )
+            return logits[:, 0], cache2
+
+        seqs, scores, lens = beam_search(
+            step_fn,
+            cache,
+            batch_size=rows,
+            max_len=max_len,
+            bos_id=bos_id,
+            eos_id=eos_id,
+            pad_id=pad_id,
+            vocab_size=vocab_size,
+            gen_cfg=gen_cfg,
+            prefix_tokens=prefix,
+            unk_id=unk_id,
+        )
+        # top beam only, shaped like the reference out_sents (B, 5, 1, L)
+        return seqs[:, 0].reshape(b, 5, 1, max_len)
+
+    return generate

@@ -1,0 +1,83 @@
+"""Model/loss/eval selection by (task_type, mdl.mdl_name)
+(reference: vidsitu_code/mdl_selector.py:26-73)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..gen.beam import GenConfig
+from ..gen.generate import make_srl_generator
+from .srl_models import SRL_MDL_NAMES, SRLModel, get_head_dim
+from .transformer import TxConfig
+
+DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+}
+
+
+def compute_dtypes(cfg):
+    return DTYPES[cfg.train.dtype], DTYPES[cfg.train.param_dtype]
+
+
+def build_model(cfg, comm):
+    """Instantiate the model for cfg. Returns (model, sample_input_keys)."""
+    task = cfg.task_type
+    mdl_name = cfg.mdl.mdl_name
+    dtype, param_dtype = compute_dtypes(cfg)
+    if task == "vb_arg":
+        assert mdl_name in SRL_MDL_NAMES, (
+            f"vb_arg model {mdl_name} not available (gpt2 variants land "
+            "with the gpt2 port)"
+        )
+        tok = comm.gpt2_hf_tok
+        dec_cfg = TxConfig.from_cfg(
+            cfg.tx_dec, len(tok), tok.pad_token_id, side="decoder",
+            dtype=dtype, param_dtype=param_dtype,
+        )
+        enc_cfg = TxConfig.from_cfg(
+            cfg.tx_dec, len(tok), tok.pad_token_id, side="encoder",
+            dtype=dtype, param_dtype=param_dtype,
+        )
+        feat_dim = (
+            get_head_dim(cfg)
+            if mdl_name in ("sfpret_txed_vbarg", "sfpret_txe_txd_vbarg")
+            else 0
+        )
+        return SRLModel(
+            mdl_name=mdl_name, dec_cfg=dec_cfg, enc_cfg=enc_cfg,
+            feat_dim=feat_dim,
+        )
+    if task == "vb":
+        from .vb_models import build_vb_model
+
+        return build_vb_model(cfg, comm)
+    if task == "evrel":
+        from .evrel_models import build_evrel_model
+
+        return build_evrel_model(cfg, comm)
+    raise NotImplementedError(task)
+
+
+def init_model_variables(model, sample_batch: Dict[str, Any], seed: int = 0):
+    """Jitted init from a host sample batch."""
+    batch = {k: jnp.asarray(v) for k, v in sample_batch.items()}
+    return jax.jit(model.init)(jax.random.PRNGKey(seed), batch)
+
+
+def build_srl_generate_fn(cfg, comm, model):
+    tok = comm.gpt2_hf_tok
+    gen_cfg = GenConfig.from_cfg(cfg.gen)
+    return make_srl_generator(
+        model,
+        gen_cfg,
+        vocab_size=len(tok),
+        pad_id=tok.pad_token_id,
+        bos_id=tok.eos_token_id,  # decode starts from eos-as-bos
+        eos_id=tok.eos_token_id,
+        unk_id=tok.unk_token_id,
+    )

@@ -1,0 +1,50 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's NCCL/DDP runtime
+(utils/trn_dist_utils.py, trn_utils.py:44-129): a data-parallel
+``jax.sharding.Mesh`` over all devices; parameters replicated; the batch
+sharded on the ``data`` axis. Gradient all-reduce is inserted by XLA
+from the shardings (no explicit collectives needed in the step), riding
+ICI intra-slice / DCN across hosts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(cfg=None, devices=None) -> Mesh:
+    """Build the mesh from cfg.tpu (default: 1-D data mesh over all
+    devices)."""
+    devices = devices if devices is not None else jax.devices()
+    axis_names = tuple(cfg.tpu.mesh_axis_names) if cfg is not None else ("data",)
+    shape = list(cfg.tpu.mesh_shape) if cfg is not None else [-1]
+    n = len(devices)
+    fixed = int(np.prod([s for s in shape if s != -1])) if shape else 1
+    shape = [n // fixed if s == -1 else s for s in shape]
+    assert int(np.prod(shape)) == n, f"mesh {shape} != {n} devices"
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
+    """Host numpy batch -> device arrays sharded along the data axis."""
+    sh = data_sharded(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate_tree(tree: Any, mesh: Mesh) -> Any:
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

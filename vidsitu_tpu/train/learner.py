@@ -1,0 +1,302 @@
+"""Training engine: the Learner (reference: utils/trn_utils.py:315-939).
+
+Same lifecycle as the reference — log-dir scaffolding, resume, fit with
+per-epoch validate + best-metric checkpointing, overfit-batch sanity —
+re-designed around one jit-compiled, mesh-sharded train step:
+
+  * params/optimizer replicated, batch sharded on the data axis; XLA
+    inserts the gradient all-reduce (replaces DDP backward hooks);
+  * optax Adam(0.9, 0.99) (main_dist.py:50);
+  * checkpoints via flax serialization with the reference's metadata
+    payload (model/opt/num_it/num_epoch/cfgtxt/best_met,
+    trn_utils.py:708-724).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from ..parallel.mesh import data_sharded, make_mesh, replicated, shard_batch
+from ..utils.config import CfgProcessor
+
+
+class SmoothenDict:
+    """EMA(0.9) loss smoothing with bias correction
+    (trn_utils.py:132-181)."""
+
+    def __init__(self, keys, beta: float = 0.9):
+        self.beta = beta
+        self.keys = list(keys)
+        self.n = 0
+        self.mov = {k: 0.0 for k in self.keys}
+        self.smooth = {k: 0.0 for k in self.keys}
+
+    def add_value(self, vals: Dict[str, float]):
+        self.n += 1
+        for k in self.keys:
+            self.mov[k] = self.beta * self.mov[k] + (1 - self.beta) * float(
+                vals[k]
+            )
+            self.smooth[k] = self.mov[k] / (1 - self.beta**self.n)
+
+
+def good_format_stats(names, stats) -> str:
+    return " ".join(f"{k}: {float(stats[k]):.4f}" for k in names)
+
+
+class Learner:
+    def __init__(
+        self,
+        uid: str,
+        cfg,
+        model,
+        variables: Dict[str, Any],
+        data,
+        eval_fn,
+        loss_keys=("loss",),
+        mesh=None,
+    ):
+        self.uid = uid
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.data = data
+        self.eval_fn = eval_fn
+        self.loss_keys = list(loss_keys)
+        self.mesh = mesh if mesh is not None else make_mesh(cfg)
+        self.num_it = 0
+        self.num_epoch = 0
+        self.best_met = None
+        self.opt_state = None
+        self.optimizer = None
+        self.rng = jax.random.PRNGKey(cfg.train.seed)
+        self.init_log_dirs()
+        self.prepare_log_file()
+        if cfg.train.resume:
+            self.load_model_dict(
+                resume_path=cfg.train.resume_path or str(self.model_file),
+                load_opt=cfg.train.load_opt,
+            )
+
+    # -- scaffolding (trn_utils.py:433-478) -----------------------------------
+    def init_log_dirs(self):
+        tmp = Path(self.cfg.misc.tmp_path)
+        self.txt_log_file = tmp / "txt_logs" / f"{self.uid}.txt"
+        self.extra_logger_file = tmp / "ext_logs" / f"{self.uid}.txt"
+        self.model_file = tmp / "models" / f"{self.uid}.ckpt"
+        self.model_epoch_dir = tmp / "model_epochs" / self.uid
+        self.predictions_dir = tmp / "predictions" / self.uid
+        for p in (
+            self.txt_log_file.parent,
+            self.extra_logger_file.parent,
+            self.model_file.parent,
+            self.predictions_dir,
+        ):
+            p.mkdir(parents=True, exist_ok=True)
+        self.logger = logging.getLogger(f"vidsitu_tpu.{self.uid}")
+        self.logger.setLevel(logging.DEBUG)
+        if not self.logger.handlers:
+            fh = logging.FileHandler(self.extra_logger_file)
+            sh = logging.StreamHandler(sys.stdout)
+            sh.setLevel(logging.INFO)
+            self.logger.addHandler(fh)
+            self.logger.addHandler(sh)
+
+    def prepare_log_file(self):
+        with open(self.txt_log_file, "a") as f:
+            f.write(CfgProcessor.to_str(self.cfg))
+            f.write("\n\n")
+
+    def update_log_file(self, line: str):
+        with open(self.txt_log_file, "a") as f:
+            f.write(line + "\n")
+
+    # -- step compilation ---------------------------------------------------------
+    def prepare_optimizer(self, lr: float):
+        self.optimizer = optax.adam(lr, b1=0.9, b2=0.99)
+        self.opt_state = self.optimizer.init(self.variables["params"])
+
+    def _build_train_step(self) -> Callable:
+        model = self.model
+        optimizer = self.optimizer
+        repl = replicated(self.mesh)
+        datash = data_sharded(self.mesh)
+
+        def train_step(params, opt_state, batch, rng):
+            def loss_fn(p):
+                out = model.apply(
+                    {"params": p},
+                    batch,
+                    deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                return out["loss"]
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = optimizer.update(updates=grads,
+                                                  state=opt_state,
+                                                  params=params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return jax.jit(
+            train_step,
+            in_shardings=(repl, repl, datash, repl),
+            out_shardings=(repl, repl, repl),
+        )
+
+    # -- training loop (trn_utils.py:583-628,788-867) ------------------------------
+    def train_epoch(self, train_step, smoother: SmoothenDict) -> Dict[str, float]:
+        dl = self.data.train_dl
+        dl.set_epoch(self.num_epoch)
+        params = self.variables["params"]
+        losses = []
+        for batch in dl:
+            batch = shard_batch(batch, self.mesh)
+            self.rng, step_rng = jax.random.split(self.rng)
+            params, self.opt_state, loss = train_step(
+                params, self.opt_state, batch, step_rng
+            )
+            self.num_it += 1
+            lossf = float(loss)
+            if np.isnan(lossf):
+                self.logger.info("Nan loss at iteration %d", self.num_it)
+            losses.append(lossf)
+            smoother.add_value({"loss": lossf})
+            if self.num_it % max(self.cfg.log.deb_it, 1) == 0:
+                self.logger.debug(
+                    "it %d loss %.4f smooth %.4f",
+                    self.num_it, lossf, smoother.smooth["loss"],
+                )
+        self.variables = dict(self.variables, params=params)
+        return {"loss": float(np.mean(losses)) if losses else float("nan")}
+
+    def validate(self, db: Optional[Dict] = None, write_to_file: bool = False):
+        if db is None:
+            db = {self.cfg.val_dl_name: self.data.valid_dl}
+        out_loss, out_acc = {}, {}
+        for dl_name, dl in db.items():
+            loss, acc = self.eval_fn(
+                self.variables, dl, dl_name,
+                pred_path=self.predictions_dir,
+                write_to_file=write_to_file,
+            )
+            out_loss.update(loss)
+            out_acc.update(acc)
+        return out_loss, out_acc, {}
+
+    def fit(self, epochs: int, lr: float):
+        self.prepare_optimizer(lr)
+        train_step = self._build_train_step()
+        smoother = SmoothenDict(self.loss_keys)
+        met_keys = self.eval_fn.met_keys
+        hdr = ["epochs", "trn_loss", "val_loss"] + list(met_keys)
+        self.update_log_file("  ".join(hdr))
+        st_time = time.time()
+        try:
+            for _ep in range(epochs):
+                ep_start = time.time()
+                trn_loss = self.train_epoch(train_step, smoother)
+                val_loss, val_acc, _ = self.validate()
+                self.num_epoch += 1
+                met0 = float(val_acc[met_keys[0]])
+                if self.best_met is None or met0 >= self.best_met:
+                    self.best_met = met0
+                    self.save_model_dict()
+                if self.cfg.train.save_mdl_epochs:
+                    self.model_epoch_dir.mkdir(parents=True, exist_ok=True)
+                    self.save_model_dict(
+                        self.model_epoch_dir / f"mdl_ep_{self.num_epoch}.ckpt"
+                    )
+                row = (
+                    f"{self.num_epoch}  "
+                    f"{trn_loss['loss']:.4f}  "
+                    f"{float(val_loss.get('loss', 0.0)):.4f}  "
+                    + good_format_stats(met_keys, val_acc)
+                )
+                self.update_log_file(row)
+                self.logger.info(
+                    "epoch %d done in %.1fs: %s",
+                    self.num_epoch, time.time() - ep_start, row,
+                )
+        except Exception as e:  # reference logs + keeps best model
+            self.update_log_file(f"exited due to exception {e!r}")
+            self.update_log_file(f"elapsed {time.time() - st_time:.1f}s")
+            raise
+        self.update_log_file(f"epochs done. elapsed {time.time() - st_time:.1f}s")
+
+    def overfit_batch(self, epochs: int, lr: float):
+        """Single-batch convergence sanity (trn_utils.py:915-939)."""
+        self.prepare_optimizer(lr)
+        train_step = self._build_train_step()
+        batch = shard_batch(next(iter(self.data.train_dl)), self.mesh)
+        params = self.variables["params"]
+        losses = []
+        for _ in range(epochs):
+            self.rng, step_rng = jax.random.split(self.rng)
+            params, self.opt_state, loss = train_step(
+                params, self.opt_state, batch, step_rng
+            )
+            losses.append(float(loss))
+            self.logger.info("overfit loss %.5f", losses[-1])
+        self.variables = dict(self.variables, params=params)
+        return losses
+
+    # -- checkpointing (trn_utils.py:631-749) ---------------------------------------
+    def save_model_dict(self, path: Optional[Path] = None):
+        path = Path(path) if path else self.model_file
+        payload = {
+            "model_state_dict": serialization.to_bytes(self.variables["params"]),
+            "optimizer_state_dict": (
+                serialization.to_bytes(self.opt_state)
+                if self.opt_state is not None
+                else b""
+            ),
+            "num_it": self.num_it,
+            "num_epoch": self.num_epoch,
+            "cfgtxt": json.dumps(self.cfg.to_dict()),
+            "best_met": self.best_met,
+        }
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    def load_model_dict(self, resume_path: str, load_opt: bool = False):
+        import pickle
+
+        p = Path(resume_path)
+        if not p.exists():
+            self.logger.info("no checkpoint at %s; starting fresh", p)
+            return
+        with open(p, "rb") as f:
+            payload = pickle.load(f)
+        params = serialization.from_bytes(
+            self.variables["params"], payload["model_state_dict"]
+        )
+        self.variables = dict(self.variables, params=params)
+        self.num_it = payload.get("num_it", 0)
+        self.num_epoch = payload.get("num_epoch", 0)
+        self.best_met = payload.get("best_met", None)
+        if load_opt and payload.get("optimizer_state_dict"):
+            if self.opt_state is None and self.optimizer is None:
+                # optimizer created at fit() time; stash for later
+                self._pending_opt_bytes = payload["optimizer_state_dict"]
+            else:
+                self.opt_state = serialization.from_bytes(
+                    self.opt_state, payload["optimizer_state_dict"]
+                )
+        self.logger.info(
+            "resumed from %s at epoch %d it %d", p, self.num_epoch, self.num_it
+        )
