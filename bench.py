@@ -1,15 +1,62 @@
 """Benchmark entry: prints ONE JSON line for the driver.
 
-Current headline metric (until the SlowFast feature-extraction path
-lands): SRL train-step throughput on the attached accelerator.
-``vs_baseline`` is 0.0 — the reference repo publishes no in-repo
-throughput numbers (BASELINE.md).
+Headline metric (north star, BASELINE.md): SlowFast-R50 8x8 feature
+extraction throughput in clips/sec/chip at the real geometry
+(fast 32x224x224, slow 8x224x224, bf16 compute). ``vs_baseline`` is 0.0:
+the reference repo publishes no in-repo throughput number.
+
+Other benches: ``python bench.py srl`` (SRL train-step samples/sec).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
+
+
+def bench_slowfast_featext(clips: int = 16, iters: int = 10) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from vidsitu_tpu.models.vb_models import build_feat_extractor
+    from vidsitu_tpu.utils.config import get_cfg_with_overrides
+
+    cfg = get_cfg_with_overrides(
+        "bench",
+        **{
+            "mdl.sf_mdl_name": "slow_fast_nl_r50_8x8",
+            "train.dtype": "bfloat16",
+        },
+    )
+    model = build_feat_extractor(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    # 5-event folding happens before the backbone; bench at the clip level
+    # with a (clips//5-ish) video batch shaped (B, 5, T, H, W, C)
+    b = max(clips // 5, 1)
+    fast = jax.random.normal(rng, (b, 5, 32, 224, 224, 3), jnp.bfloat16)
+    slow = jax.random.normal(rng, (b, 5, 8, 224, 224, 3), jnp.bfloat16)
+    batch = {"frms_ev_fast_tensor": fast, "frms_ev_slow_tensor": slow}
+
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), batch)
+    fwd = jax.jit(lambda v, x: model.apply(v, x)["feats"])
+    out = fwd(variables, batch)
+    jax.block_until_ready(out)
+
+    n_clips = b * 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(variables, batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    cps = n_clips * iters / dt
+    return {
+        "metric": "slowfast_r50_8x8_featext",
+        "value": round(cps, 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": 0.0,
+    }
 
 
 def bench_srl_train(bs: int = 32, iters: int = 20) -> dict:
@@ -34,7 +81,6 @@ def bench_srl_train(bs: int = 32, iters: int = 20) -> dict:
         return optax.apply_updates(params, updates), opt_state2, loss
 
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
-    # warmup + compile
     params, opt_state, loss = step(params, opt_state, dev_batch)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
@@ -42,14 +88,17 @@ def bench_srl_train(bs: int = 32, iters: int = 20) -> dict:
         params, opt_state, loss = step(params, opt_state, dev_batch)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
-    sps = bs * iters / dt
     return {
         "metric": "srl_train_throughput",
-        "value": round(sps, 2),
+        "value": round(bs * iters / dt, 2),
         "unit": "samples/sec",
         "vs_baseline": 0.0,
     }
 
 
 if __name__ == "__main__":
-    print(json.dumps(bench_srl_train()))
+    which = sys.argv[1] if len(sys.argv) > 1 else "featext"
+    if which == "srl":
+        print(json.dumps(bench_srl_train()))
+    else:
+        print(json.dumps(bench_slowfast_featext()))

@@ -1,0 +1,161 @@
+"""vb task end-to-end on a tiny backbone (depth-26, 32px frames)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vidsitu_tpu.data import build_comm, get_data
+from vidsitu_tpu.data.synth import make_synth_dataset
+from vidsitu_tpu.evaluation.evaluators import EvalB
+from vidsitu_tpu.models.selector import build_model, init_model_variables
+from vidsitu_tpu.models.video_backbone import VideoCfg
+from vidsitu_tpu.train.learner import Learner
+from vidsitu_tpu.utils.config import get_cfg_with_overrides
+
+TINY_VID = {
+    "vid_mdl.resnet.depth": 26,
+    "vid_mdl.crop_size": 32,
+    "vid_mdl.num_frames": 4,
+    "vid_mdl.sampling_rate": 2,
+}
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vbdata")
+    paths = make_synth_dataset(
+        root, n_train=8, n_valid=4, seed=31, with_frames=True
+    )
+    return paths, root
+
+
+def mk(env_, arch="slow_fast_nl_r50_8x8", **kw):
+    paths, root = env_
+    return get_cfg_with_overrides(
+        "vbtest",
+        **{
+            **paths,
+            "task_type": "vb",
+            "mdl.mdl_name": "sf_base",
+            "mdl.sf_mdl_name": arch,
+            **TINY_VID,
+            "train.bs": 8,
+            "train.bsv": 4,
+            "train.nw": 0,
+            "train.nwv": 0,
+            "train.dtype": "float32",
+            "misc.tmp_path": str(root / "tmp"),
+            **kw,
+        },
+    )
+
+
+def test_slowfast_backbone_shapes(env):
+    cfg = mk(env)
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    batch = next(iter(data.train_dl))
+    assert batch["frms_ev_fast_tensor"].shape == (8, 5, 4, 32, 32, 3)
+    assert batch["frms_ev_slow_tensor"].shape == (8, 5, 1, 32, 32, 3)
+    model = build_model(cfg, comm)
+    variables = init_model_variables(model, batch)
+    assert "batch_stats" in variables
+    out = jax.jit(lambda v, b: model.apply(v, b))(
+        variables, {k: jnp.asarray(v) for k, v in batch.items()}
+    )
+    # logits over verb vocab per event
+    assert out["mdl_out"].shape == (8, 5, len(comm.vb_id_vocab))
+    assert np.isfinite(float(out["loss"]))
+
+
+def test_single_pathway_archs(env):
+    for arch in ["i3d_r50_nl_8x8", "c2d_r50_8x8"]:
+        cfg = mk(env, arch=arch, **{"vid_mdl.sampling_rate": 2})
+        comm = build_comm(cfg)
+        data = get_data(cfg)
+        batch = next(iter(data.train_dl))
+        assert "frms_ev_slow_tensor" not in batch
+        model = build_model(cfg, comm)
+        variables = init_model_variables(model, batch)
+        out = jax.jit(lambda v, b: model.apply(v, b))(
+            variables, {k: jnp.asarray(v) for k, v in batch.items()}
+        )
+        assert out["mdl_out"].shape == (8, 5, len(comm.vb_id_vocab))
+        assert np.isfinite(float(out["loss"]))
+
+
+def test_vb_train_and_eval(env):
+    cfg = mk(env)
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    model = build_model(cfg, comm)
+    batch = next(iter(data.train_dl))
+    variables = init_model_variables(model, batch)
+    evalb = EvalB(cfg, comm, model)
+    learner = Learner(
+        uid="vb_e2e", cfg=cfg, model=model, variables=variables,
+        data=data, eval_fn=evalb,
+    )
+    losses = learner.overfit_batch(epochs=6, lr=1e-3)
+    assert losses[-1] < losses[0], losses
+    # batch_stats must have been updated by training
+    bs0 = jax.tree.leaves(variables["batch_stats"])[0]
+    bs1 = jax.tree.leaves(learner.variables["batch_stats"])[0]
+    assert not np.allclose(np.asarray(bs0), np.asarray(bs1))
+
+    val_loss, val_acc, _ = learner.validate(write_to_file=True)
+    for k in EvalB.met_keys:
+        assert k in val_acc
+        assert 0.0 <= val_acc[k] <= 1.0
+    # prediction pickle in leaderboard format
+    import pickle
+
+    preds = pickle.load(
+        open(learner.predictions_dir / "valid_0.pkl", "rb")
+    )
+    assert len(preds) == 4
+    assert set(preds[0].keys()) == {"pred_vbs_ev", "pred_scores_ev", "ann_idx"}
+    assert len(preds[0]["pred_vbs_ev"]) == 5
+    assert len(preds[0]["pred_vbs_ev"][0]) == 5
+
+
+def test_feature_extractor_dims(env):
+    from vidsitu_tpu.models.vb_models import build_feat_extractor
+
+    cfg = mk(env)
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    batch = next(iter(data.train_dl))
+    fe = build_feat_extractor(cfg)
+    variables = init_model_variables(fe, batch)
+    out = jax.jit(lambda v, b: fe.apply(v, b))(
+        variables, {k: jnp.asarray(v) for k, v in batch.items()}
+    )
+    # slowfast trimmed head: 2048 + 256 = 2304
+    assert out["feats"].shape == (8, 5, 2304)
+
+
+def test_extract_features_roundtrip(env, tmp_path):
+    """extract -> npy files -> SFPreFeats SRL model consumes them."""
+    from vidsitu_tpu.extract import extract_features
+
+    cfg = mk(env)
+    comm = build_comm(cfg)
+    out_dir = tmp_path / "slow_fast_feats"
+    counts = extract_features(
+        cfg, comm, splits=["valid"], out_dir=out_dir, batch_size=4
+    )
+    assert counts["valid"] == 4
+    files = sorted(out_dir.glob("*_feats.npy"))
+    assert len(files) == 4
+    arr = np.load(files[0])
+    assert arr.shape == (5, 2304)
+    assert np.isfinite(arr).all()
+
+    # features dir name carries the dim hint for get_head_dim
+    from vidsitu_tpu.models.srl_models import get_head_dim
+
+    cfg2 = mk(env)
+    cfg2.ds.vsitu.vsit_frm_feats_dir = str(out_dir)
+    assert get_head_dim(cfg2) == 2304

@@ -323,6 +323,7 @@ class VsituDS:
             self.comm.sampling_rate,
             self.vid_cfg,
             max_frms=self.comm.max_frms,
+            out_hw=self.vid_cfg.crop_size,
         )
 
     def get_frm_feats_all(self, idx: int) -> Dict[str, np.ndarray]:

@@ -55,6 +55,71 @@ def conv_seq_to_srl(inp_seq: str, ag_start_values) -> Dict[str, str]:
     return vb_dct
 
 
+class EvalB:
+    """Verb-prediction evaluator (evl_vsitu.py:21-145): softmax -> top-5
+    verb strings per event -> pkl -> EvlFn_Vb."""
+
+    met_keys = ["Per_Ev_Top_1", "Per_Ev_Top_5", "recall_macro_1_th_9"]
+
+    def __init__(self, cfg, comm, model, split_type: str = "valid",
+                 rank: int = 0, world_size: int = 1):
+        import jax
+
+        self.cfg = cfg
+        self.comm = comm
+        self.split_type = split_type
+        self.rank = rank
+        self.world_size = world_size
+        self.evl_met = EvlFn_Vb(cfg, comm, self.met_keys)
+        self.loss_keys = ["loss"]
+        self.forward = jax.jit(
+            lambda v, b: model.apply(v, b)["mdl_out"]
+        )
+
+    def decode_batch(self, mdl_out: np.ndarray, ann_lst: np.ndarray,
+                     topk: int = 5) -> List[Dict]:
+        symbols = self.comm.vb_id_vocab.symbols
+        x = mdl_out.astype(np.float64)
+        probs = np.exp(x - x.max(-1, keepdims=True))
+        probs = probs / probs.sum(-1, keepdims=True)
+        order = np.argsort(-probs, axis=-1)[..., :topk]
+        out = []
+        for bix in range(mdl_out.shape[0]):
+            pred_vbs, pred_scores = [], []
+            for ev in range(5):
+                ixs = order[bix, ev]
+                pred_vbs.append([symbols[i] for i in ixs])
+                pred_scores.append([float(probs[bix, ev, i]) for i in ixs])
+            out.append(
+                {
+                    "pred_vbs_ev": pred_vbs,
+                    "pred_scores_ev": pred_scores,
+                    "ann_idx": int(ann_lst[bix]),
+                }
+            )
+        return out
+
+    def __call__(self, variables, dl, dl_name, pred_path, write_to_file=True):
+        results: List[Dict] = []
+        bsv = dl.batch_size
+        for batch in dl:
+            padded = pad_batch_to(batch, bsv)
+            mdl_out = np.asarray(
+                self.forward(
+                    variables, {k: jnp.asarray(v) for k, v in padded.items()}
+                )
+            )
+            results += self.decode_batch(mdl_out, padded["vseg_idx"])
+        seen = set()
+        uniq = [r for r in results
+                if r["ann_idx"] not in seen and not seen.add(r["ann_idx"])]
+        fname = Path(pred_path) / f"{dl_name}_{self.rank}.pkl"
+        write_pickle(uniq, fname)
+        out_acc = self.evl_met.simple_acc(str(fname), split_type=self.split_type)
+        val_acc = {k: float(out_acc[k]) for k in self.met_keys if k in out_acc}
+        return {"loss": 0.0}, val_acc
+
+
 class EvalB_Gen:
     """SRL generation evaluator (evl_vsitu.py:148-214)."""
 

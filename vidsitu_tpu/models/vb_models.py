@@ -1,0 +1,104 @@
+"""Verb-prediction task model (SFBase analog, mdl_sf_base.py:116-231) and
+the feature-extraction model (vidsitu_code/feat_extractor.py:77-112)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .common import MLP
+from .srl_models import masked_cross_entropy
+from .video_backbone import (
+    ResNet3DBackbone,
+    SlowFastBackbone,
+    VideoCfg,
+    backbone_out_dim,
+    trimmed_head,
+)
+
+
+def _fold_events(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 5, T, H, W, C) -> (B*5, T, H, W, C)."""
+    s = x.shape
+    return x.reshape((s[0] * s[1],) + s[2:])
+
+
+class VbVideoModel(nn.Module):
+    """Backbone + trimmed head (+ optional projection to verb vocab).
+
+    With ``num_classes > 0`` this is SFBase (2-layer MLP projection head,
+    mdl_sf_base.py:161-167); with ``num_classes == 0`` it is the feature
+    extractor producing (B, 5, D).
+    """
+
+    vid_cfg: VideoCfg
+    num_classes: int = 0
+
+    def setup(self):
+        if self.vid_cfg.arch == "slowfast":
+            self.backbone = SlowFastBackbone(self.vid_cfg, name="backbone")
+        else:
+            self.backbone = ResNet3DBackbone(self.vid_cfg, name="backbone")
+        if self.num_classes > 0:
+            w = self.vid_cfg.width * 32
+            din = (
+                w + w // self.vid_cfg.beta_inv
+                if self.vid_cfg.arch == "slowfast"
+                else w
+            )
+            self.proj_head = MLP(
+                [din // 2, self.num_classes],
+                dtype=self.vid_cfg.dtype,
+                param_dtype=self.vid_cfg.param_dtype,
+                name="proj_head",
+            )
+
+    def features(self, inp: Dict[str, jnp.ndarray], train: bool = False):
+        """(B, 5, D) pooled clip features (forward_encoder + head)."""
+        fast = _fold_events(inp["frms_ev_fast_tensor"].astype(self.vid_cfg.dtype))
+        if self.vid_cfg.arch == "slowfast":
+            slow = _fold_events(
+                inp["frms_ev_slow_tensor"].astype(self.vid_cfg.dtype)
+            )
+            slow_f, fast_f = self.backbone(slow, fast, train)
+            pooled = trimmed_head([slow_f, fast_f])
+        else:
+            feat = self.backbone(fast, train)
+            pooled = trimmed_head([feat])
+        b5, d = pooled.shape
+        return pooled.reshape(b5 // 5, 5, d)
+
+    def __call__(
+        self, inp: Dict[str, jnp.ndarray], deterministic: bool = True
+    ) -> Dict[str, jnp.ndarray]:
+        train = not deterministic
+        feats = self.features(inp, train)
+        if self.num_classes == 0:
+            return {"feats": feats}
+        logits = self.proj_head(feats)  # (B, 5, V)
+        out = {"mdl_out": logits}
+        if "label_tensor" in inp:
+            # plain CE over B*5 events (LossB, mdl_sf_base.py:219-231)
+            labels = inp["label_tensor"].reshape(-1)
+            out["loss"] = masked_cross_entropy(
+                logits.reshape(-1, self.num_classes), labels, pad_id=-1
+            )
+        return out
+
+
+def build_vb_model(cfg, comm):
+    from .selector import compute_dtypes
+
+    dtype, param_dtype = compute_dtypes(cfg)
+    vid_cfg = VideoCfg.from_cfg(cfg.vid_mdl, dtype=dtype, param_dtype=param_dtype)
+    return VbVideoModel(vid_cfg=vid_cfg, num_classes=len(comm.vb_id_vocab))
+
+
+def build_feat_extractor(cfg):
+    from .selector import compute_dtypes
+
+    dtype, param_dtype = compute_dtypes(cfg)
+    vid_cfg = VideoCfg.from_cfg(cfg.vid_mdl, dtype=dtype, param_dtype=param_dtype)
+    return VbVideoModel(vid_cfg=vid_cfg, num_classes=0)

@@ -1,0 +1,349 @@
+"""3D-CNN video backbones: ResNet3D (c2d / i3d / slow) and SlowFast.
+
+TPU-native re-implementation of the SlowFast-package backbones the
+reference wraps (mdl_sf_base.py:20-62; SlowFast submodule
+video_model_builder). Layout and design decisions:
+
+  * channels-last (B, T, H, W, C) — XLA's native conv layout on TPU, so
+    every conv lowers straight onto the MXU without transposes;
+  * bottleneck residual stages [3,4,6,3] (R50) with per-arch temporal
+    kernel bases (the public SlowFast `_TEMPORAL_KERNEL_BASIS`);
+  * lateral fast->slow fusion convs (k=(fusion_kernel,1,1),
+    stride=(alpha,1,1)) after the stem and after s2/s3/s4;
+  * optional non-local blocks (dot_product / softmax instantiations)
+    at the configured stage/block locations;
+  * BatchNorm with running stats; under a sharded-batch jit the batch
+    statistics reduce over the global batch (sync-BN for free).
+
+Geometry (SlowFast-R50 8x8): slow stem 64ch T=8, fast stem 8ch T=32,
+stage outputs slow [256,512,1024,2048] / fast [32,64,128,256], trimmed
+head concat 2304 (SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# temporal kernel sizes per (arch, pathway, stage): stem + res2..res5
+TEMPORAL_KERNELS = {
+    "c2d": {"fast": [1, 1, 1, 1, 1]},
+    "i3d": {"fast": [5, 3, 3, 3, 3]},
+    "slow": {"fast": [1, 1, 1, 3, 3]},
+    "slowfast": {"slow": [1, 1, 1, 3, 3], "fast": [5, 3, 3, 3, 3]},
+}
+
+# temporal pool after s2 (SlowFast _POOL1): i3d/c2d pool T by 2
+TEMPORAL_POOL = {"c2d": 2, "i3d": 2, "slow": 1, "slowfast": 1}
+
+R50_BLOCKS = [3, 4, 6, 3]
+
+
+@dataclass(frozen=True)
+class VideoCfg:
+    arch: str = "slowfast"
+    depth_blocks: Tuple[int, ...] = (3, 4, 6, 3)
+    width: int = 64
+    alpha: int = 4
+    beta_inv: int = 8
+    fusion_ratio: int = 2
+    fusion_kernel: int = 7
+    spatial_strides: Tuple[int, ...] = (1, 2, 2, 2)
+    nl_location: Tuple[Tuple[Tuple[int, ...], ...], ...] = ((), (), (), ())
+    nl_instantiation: str = "softmax"
+    zero_init_final_bn: bool = True
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    bn_momentum: float = 0.9
+    bn_eps: float = 1e-5
+
+    @classmethod
+    def from_cfg(cls, vid_mdl, dtype=jnp.float32, param_dtype=jnp.float32):
+        nl_loc = []
+        for stage_loc in vid_mdl.nl.location:
+            # per-pathway lists; keep as tuple-of-tuples
+            nl_loc.append(tuple(tuple(p) for p in stage_loc))
+        # 26 is a 1-block-per-stage bottleneck variant for fast tests
+        depth_map = {26: (1, 1, 1, 1), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
+        return cls(
+            arch=vid_mdl.arch,
+            depth_blocks=depth_map[vid_mdl.resnet.depth],
+            width=vid_mdl.resnet.width_per_group,
+            alpha=vid_mdl.slowfast.alpha,
+            beta_inv=vid_mdl.slowfast.beta_inv,
+            fusion_ratio=vid_mdl.slowfast.fusion_conv_channel_ratio,
+            fusion_kernel=vid_mdl.slowfast.fusion_kernel_sz,
+            spatial_strides=tuple(s[0] for s in vid_mdl.resnet.spatial_strides),
+            nl_location=tuple(nl_loc),
+            nl_instantiation=vid_mdl.nl.instantiation,
+            zero_init_final_bn=vid_mdl.resnet.zero_init_final_bn,
+            dtype=dtype,
+            param_dtype=param_dtype,
+        )
+
+
+class ConvBN(nn.Module):
+    """Conv3D (channels-last) + BatchNorm + optional ReLU."""
+
+    features: int
+    kernel: Tuple[int, int, int]
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    relu: bool = True
+    zero_init_gamma: bool = False
+    cfg: VideoCfg = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        kt, kh, kw = self.kernel
+        x = nn.Conv(
+            self.features,
+            kernel_size=(kt, kh, kw),
+            strides=self.strides,
+            padding=((kt // 2, kt // 2), (kh // 2, kh // 2), (kw // 2, kw // 2)),
+            use_bias=False,
+            dtype=c.dtype,
+            param_dtype=c.param_dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=c.bn_momentum,
+            epsilon=c.bn_eps,
+            dtype=c.dtype,
+            param_dtype=c.param_dtype,
+            scale_init=(
+                nn.initializers.zeros
+                if self.zero_init_gamma
+                else nn.initializers.ones
+            ),
+            name="bn",
+        )(x)
+        if self.relu:
+            x = nn.relu(x)
+        return x
+
+
+class NonLocalBlock(nn.Module):
+    """Non-local block (dot_product or softmax instantiation) with
+    (1,2,2) max-pool subsampling on phi/g, as in the SlowFast package."""
+
+    cfg: VideoCfg
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        b, t, h, w, ch = x.shape
+        inner = ch // 2
+        theta = nn.Conv(inner, (1, 1, 1), use_bias=False, dtype=c.dtype,
+                        param_dtype=c.param_dtype, name="theta")(x)
+        pooled = nn.max_pool(x, (1, 2, 2), strides=(1, 2, 2))
+        phi = nn.Conv(inner, (1, 1, 1), use_bias=False, dtype=c.dtype,
+                      param_dtype=c.param_dtype, name="phi")(pooled)
+        g = nn.Conv(inner, (1, 1, 1), use_bias=False, dtype=c.dtype,
+                    param_dtype=c.param_dtype, name="g")(pooled)
+
+        q = theta.reshape(b, -1, inner)
+        k = phi.reshape(b, -1, inner)
+        v = g.reshape(b, -1, inner)
+        attn = jnp.einsum("bqc,bkc->bqk", q, k)
+        if c.nl_instantiation == "softmax":
+            attn = jax.nn.softmax(
+                attn.astype(jnp.float32) * (inner**-0.5), axis=-1
+            ).astype(c.dtype)
+        else:  # dot_product
+            attn = attn / attn.shape[-1]
+        out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, t, h, w, inner)
+        out = nn.Conv(ch, (1, 1, 1), use_bias=False, dtype=c.dtype,
+                      param_dtype=c.param_dtype, name="out")(out)
+        out = nn.BatchNorm(
+            use_running_average=not train, momentum=c.bn_momentum,
+            epsilon=c.bn_eps, dtype=c.dtype, param_dtype=c.param_dtype,
+            scale_init=nn.initializers.zeros, name="bn",
+        )(out)
+        return x + out
+
+
+class Bottleneck(nn.Module):
+    """1x1x1(temp) -> 1x3x3(stride) -> 1x1x1 with residual."""
+
+    dim_out: int
+    dim_inner: int
+    temp_kernel: int
+    spatial_stride: int
+    cfg: VideoCfg
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        residual = x
+        needs_proj = (x.shape[-1] != self.dim_out) or (self.spatial_stride != 1)
+        if needs_proj:
+            residual = ConvBN(
+                self.dim_out, (1, 1, 1),
+                strides=(1, self.spatial_stride, self.spatial_stride),
+                relu=False, cfg=c, name="proj",
+            )(x, train)
+        y = ConvBN(
+            self.dim_inner, (self.temp_kernel, 1, 1), cfg=c, name="a"
+        )(x, train)
+        y = ConvBN(
+            self.dim_inner, (1, 3, 3),
+            strides=(1, self.spatial_stride, self.spatial_stride),
+            cfg=c, name="b",
+        )(y, train)
+        y = ConvBN(
+            self.dim_out, (1, 1, 1), relu=False,
+            zero_init_gamma=c.zero_init_final_bn, cfg=c, name="c",
+        )(y, train)
+        return nn.relu(residual + y)
+
+
+class ResStage(nn.Module):
+    n_blocks: int
+    dim_out: int
+    dim_inner: int
+    temp_kernel: int
+    spatial_stride: int
+    nl_blocks: Tuple[int, ...]
+    cfg: VideoCfg
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(self.n_blocks):
+            x = Bottleneck(
+                dim_out=self.dim_out,
+                dim_inner=self.dim_inner,
+                temp_kernel=self.temp_kernel,
+                spatial_stride=self.spatial_stride if i == 0 else 1,
+                cfg=self.cfg,
+                name=f"block_{i}",
+            )(x, train)
+            if i in self.nl_blocks:
+                x = NonLocalBlock(self.cfg, name=f"nl_{i}")(x, train)
+        return x
+
+
+class Stem(nn.Module):
+    width: int
+    temp_kernel: int
+    cfg: VideoCfg
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(
+            self.width, (self.temp_kernel, 7, 7), strides=(1, 2, 2),
+            cfg=self.cfg, name="conv",
+        )(x, train)
+        x = nn.max_pool(
+            x, (1, 3, 3), strides=(1, 2, 2), padding=((0, 0), (1, 1), (1, 1))
+        )
+        return x
+
+
+class FuseFastToSlow(nn.Module):
+    """Lateral connection: time-strided conv on fast, concat to slow."""
+
+    fast_channels: int
+    cfg: VideoCfg
+
+    @nn.compact
+    def __call__(self, slow, fast, train: bool = False):
+        c = self.cfg
+        fuse = ConvBN(
+            self.fast_channels * c.fusion_ratio,
+            (c.fusion_kernel, 1, 1),
+            strides=(c.alpha, 1, 1),
+            cfg=c,
+            name="conv_f2s",
+        )(fast, train)
+        return jnp.concatenate([slow, fuse], axis=-1), fast
+
+
+def _nl_for(cfg: VideoCfg, stage: int, pathway: int) -> Tuple[int, ...]:
+    loc = cfg.nl_location
+    if stage < len(loc) and pathway < len(loc[stage]):
+        return tuple(loc[stage][pathway])
+    return ()
+
+
+class SlowFastBackbone(nn.Module):
+    """Dual-pathway backbone. forward_features mirrors
+    SlowFast_FeatModel.forward_features (mdl_sf_base.py:21-34)."""
+
+    cfg: VideoCfg
+
+    @nn.compact
+    def __call__(self, slow, fast, train: bool = False):
+        c = self.cfg
+        w = c.width                      # 64
+        wf = w // c.beta_inv             # 8
+        tk_s = TEMPORAL_KERNELS["slowfast"]["slow"]
+        tk_f = TEMPORAL_KERNELS["slowfast"]["fast"]
+
+        slow = Stem(w, tk_s[0], c, name="s1_slow")(slow, train)
+        fast = Stem(wf, tk_f[0], c, name="s1_fast")(fast, train)
+        slow, fast = FuseFastToSlow(wf, c, name="s1_fuse")(slow, fast, train)
+
+        outs_s = [256, 512, 1024, 2048]
+        inner_s = [64, 128, 256, 512]
+        for i in range(4):
+            slow = ResStage(
+                c.depth_blocks[i], outs_s[i], inner_s[i], tk_s[i + 1],
+                c.spatial_strides[i], _nl_for(c, i, 0), c,
+                name=f"s{i + 2}_slow",
+            )(slow, train)
+            fast = ResStage(
+                c.depth_blocks[i], outs_s[i] // c.beta_inv,
+                inner_s[i] // c.beta_inv, tk_f[i + 1],
+                c.spatial_strides[i], _nl_for(c, i, 1), c,
+                name=f"s{i + 2}_fast",
+            )(fast, train)
+            if i < 3:  # fuse after s2, s3, s4
+                slow, fast = FuseFastToSlow(
+                    outs_s[i] // c.beta_inv, c, name=f"s{i + 2}_fuse"
+                )(slow, fast, train)
+        return slow, fast
+
+
+class ResNet3DBackbone(nn.Module):
+    """Single-pathway backbone (c2d / i3d / slow variants)."""
+
+    cfg: VideoCfg
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        tk = TEMPORAL_KERNELS[c.arch]["fast"]
+        x = Stem(c.width, tk[0], c, name="s1")(x, train)
+        tpool = TEMPORAL_POOL[c.arch]
+        outs = [256, 512, 1024, 2048]
+        inner = [64, 128, 256, 512]
+        for i in range(4):
+            x = ResStage(
+                c.depth_blocks[i], outs[i], inner[i], tk[i + 1],
+                c.spatial_strides[i], _nl_for(c, i, 0), c, name=f"s{i + 2}",
+            )(x, train)
+            if i == 0 and tpool > 1:
+                x = nn.max_pool(x, (tpool, 1, 1), strides=(tpool, 1, 1))
+        return x
+
+
+def trimmed_head(feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Per-pathway global average pool + channel concat
+    (ResNetBasicHead_Trimmed, mdl_sf_base.py:65-113). (B,T,H,W,C)->(B,C)."""
+    pooled = [f.mean(axis=(1, 2, 3)) for f in feats]
+    return jnp.concatenate(pooled, axis=-1)
+
+
+def backbone_out_dim(vid_cfg) -> int:
+    w = vid_cfg.resnet.width_per_group
+    if vid_cfg.arch == "slowfast":
+        return w * 32 + w * 32 // vid_cfg.slowfast.beta_inv
+    return w * 32

@@ -81,6 +81,11 @@ class Learner:
         self.opt_state = None
         self.optimizer = None
         self.rng = jax.random.PRNGKey(cfg.train.seed)
+        ndev = int(self.mesh.devices.size)
+        assert data.train_dl.batch_size % ndev == 0, (
+            f"per-process batch {data.train_dl.batch_size} must be divisible "
+            f"by the {ndev}-device data mesh"
+        )
         self.init_log_dirs()
         self.prepare_log_file()
         if cfg.train.resume:
@@ -132,41 +137,60 @@ class Learner:
         optimizer = self.optimizer
         repl = replicated(self.mesh)
         datash = data_sharded(self.mesh)
+        # non-param collections (e.g. BatchNorm batch_stats) are threaded
+        # through the step and updated mutably
+        extra_cols = [k for k in self.variables if k != "params"]
 
-        def train_step(params, opt_state, batch, rng):
+        def train_step(params, extra, opt_state, batch, rng):
             def loss_fn(p):
+                if extra_cols:
+                    out, new_extra = model.apply(
+                        {"params": p, **extra},
+                        batch,
+                        deterministic=False,
+                        rngs={"dropout": rng},
+                        mutable=extra_cols,
+                    )
+                    return out["loss"], new_extra
                 out = model.apply(
                     {"params": p},
                     batch,
                     deterministic=False,
                     rngs={"dropout": rng},
                 )
-                return out["loss"]
+                return out["loss"], {}
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            (loss, new_extra), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
             updates, opt_state = optimizer.update(updates=grads,
                                                   state=opt_state,
                                                   params=params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return params, new_extra, opt_state, loss
 
         return jax.jit(
             train_step,
-            in_shardings=(repl, repl, datash, repl),
-            out_shardings=(repl, repl, repl),
+            in_shardings=(repl, repl, repl, datash, repl),
+            out_shardings=(repl, repl, repl, repl),
         )
+
+    def _split_vars(self):
+        params = self.variables["params"]
+        extra = {k: v for k, v in self.variables.items() if k != "params"}
+        return params, extra
 
     # -- training loop (trn_utils.py:583-628,788-867) ------------------------------
     def train_epoch(self, train_step, smoother: SmoothenDict) -> Dict[str, float]:
         dl = self.data.train_dl
         dl.set_epoch(self.num_epoch)
-        params = self.variables["params"]
+        params, extra = self._split_vars()
         losses = []
         for batch in dl:
             batch = shard_batch(batch, self.mesh)
             self.rng, step_rng = jax.random.split(self.rng)
-            params, self.opt_state, loss = train_step(
-                params, self.opt_state, batch, step_rng
+            params, extra, self.opt_state, loss = train_step(
+                params, extra, self.opt_state, batch, step_rng
             )
             self.num_it += 1
             lossf = float(loss)
@@ -179,7 +203,7 @@ class Learner:
                     "it %d loss %.4f smooth %.4f",
                     self.num_it, lossf, smoother.smooth["loss"],
                 )
-        self.variables = dict(self.variables, params=params)
+        self.variables = dict(extra, params=params)
         return {"loss": float(np.mean(losses)) if losses else float("nan")}
 
     def validate(self, db: Optional[Dict] = None, write_to_file: bool = False):
@@ -241,16 +265,16 @@ class Learner:
         self.prepare_optimizer(lr)
         train_step = self._build_train_step()
         batch = shard_batch(next(iter(self.data.train_dl)), self.mesh)
-        params = self.variables["params"]
+        params, extra = self._split_vars()
         losses = []
         for _ in range(epochs):
             self.rng, step_rng = jax.random.split(self.rng)
-            params, self.opt_state, loss = train_step(
-                params, self.opt_state, batch, step_rng
+            params, extra, self.opt_state, loss = train_step(
+                params, extra, self.opt_state, batch, step_rng
             )
             losses.append(float(loss))
             self.logger.info("overfit loss %.5f", losses[-1])
-        self.variables = dict(self.variables, params=params)
+        self.variables = dict(extra, params=params)
         return losses
 
     # -- checkpointing (trn_utils.py:631-749) ---------------------------------------
@@ -258,6 +282,9 @@ class Learner:
         path = Path(path) if path else self.model_file
         payload = {
             "model_state_dict": serialization.to_bytes(self.variables["params"]),
+            "model_extra_state": serialization.to_bytes(
+                {k: v for k, v in self.variables.items() if k != "params"}
+            ),
             "optimizer_state_dict": (
                 serialization.to_bytes(self.opt_state)
                 if self.opt_state is not None
@@ -285,7 +312,12 @@ class Learner:
         params = serialization.from_bytes(
             self.variables["params"], payload["model_state_dict"]
         )
-        self.variables = dict(self.variables, params=params)
+        extra = {k: v for k, v in self.variables.items() if k != "params"}
+        if extra and payload.get("model_extra_state"):
+            extra = serialization.from_bytes(
+                extra, payload["model_extra_state"]
+            )
+        self.variables = dict(extra, params=params)
         self.num_it = payload.get("num_it", 0)
         self.num_epoch = payload.get("num_epoch", 0)
         self.best_met = payload.get("best_met", None)
