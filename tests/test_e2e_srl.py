@@ -20,6 +20,10 @@ from vidsitu_tpu.train.learner import Learner
 from vidsitu_tpu.utils.config import get_cfg_with_overrides
 
 TINY_TX = {
+    "gpt2_mdl.d_model": 64,
+    "gpt2_mdl.n_layers": 2,
+    "gpt2_mdl.n_heads": 4,
+    "gpt2_mdl.max_pos": 128,
     "tx_dec.decoder_embed_dim": 64,
     "tx_dec.decoder_ffn_embed_dim": 128,
     "tx_dec.decoder_layers": 2,
@@ -60,7 +64,9 @@ def mk(env_, mdl_name, **kw):
 
 
 @pytest.mark.parametrize(
-    "mdl_name", ["tx_only", "sfpret_txed_vbarg", "sfpret_txe_txd_vbarg"]
+    "mdl_name",
+    ["tx_only", "sfpret_txed_vbarg", "sfpret_txe_txd_vbarg", "txed_only",
+     "new_gpt2_only"],
 )
 def test_forward_loss_finite(env, mdl_name):
     cfg = mk(env, mdl_name)

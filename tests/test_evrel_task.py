@@ -1,0 +1,139 @@
+"""evrel task: all five model variants + evaluator end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vidsitu_tpu.data import build_comm, get_data
+from vidsitu_tpu.data.synth import make_synth_dataset
+from vidsitu_tpu.evaluation.evaluators import EvalB_Acc
+from vidsitu_tpu.models.selector import build_model, init_model_variables
+from vidsitu_tpu.train.learner import Learner
+from vidsitu_tpu.utils.config import get_cfg_with_overrides
+
+TINY_ROB = {
+    "rob_mdl.d_model": 64,
+    "rob_mdl.n_layers": 2,
+    "rob_mdl.n_heads": 4,
+    "rob_mdl.ffn_dim": 128,
+    "rob_mdl.max_pos": 130,
+}
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("evreldata")
+    paths = make_synth_dataset(root, n_train=8, n_valid=4, seed=41)
+    return paths, root
+
+
+def mk(env_, mdl_name, **kw):
+    paths, root = env_
+    return get_cfg_with_overrides(
+        "evreltest",
+        **{
+            **paths,
+            **TINY_ROB,
+            "task_type": "evrel",
+            "mdl.mdl_name": mdl_name,
+            "train.bs": 8,
+            "train.bsv": 4,
+            "train.nw": 0,
+            "train.nwv": 0,
+            "train.dtype": "float32",
+            "misc.tmp_path": str(root / "tmp"),
+            **kw,
+        },
+    )
+
+
+@pytest.mark.parametrize(
+    "mdl_name",
+    [
+        "rob_evrel",
+        "txe_evrel",
+        "sfpret_evrel",
+        "sfpret_vbonly_evrel",
+        "sfpret_onlyvid_evrel",
+    ],
+)
+def test_forward_shapes_and_loss(env, mdl_name):
+    cfg = mk(env, mdl_name)
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    batch = next(iter(data.train_dl))
+    model = build_model(cfg, comm)
+    variables = init_model_variables(model, batch)
+    out = jax.jit(lambda v, b: model.apply(v, b))(
+        variables, {k: jnp.asarray(v) for k, v in batch.items()}
+    )
+    assert out["mdl_out"].shape == (8, 4, 1, 5)
+    assert np.isfinite(float(out["loss"]))
+    assert 0.1 < float(out["loss"]) < 8.0  # ~log(5) at init
+
+
+def test_ablation_zeroing_changes_logits(env):
+    """txe (video zeroed) vs sfpret (full) differ; onlyvid ignores text."""
+    cfg_full = mk(env, "sfpret_evrel")
+    comm = build_comm(cfg_full)
+    data = get_data(cfg_full)
+    batch = next(iter(data.train_dl))
+    dev = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    m_vid = build_model(mk(env, "sfpret_onlyvid_evrel"), comm)
+    v_vid = init_model_variables(m_vid, batch)
+    out1 = jax.jit(lambda v, b: m_vid.apply(v, b))(v_vid, dev)
+    # shuffle the text tokens: onlyvid output must not change
+    batch2 = dict(batch)
+    rng = np.random.default_rng(0)
+    batch2["evrel_seq_out_ones"] = rng.permutation(
+        batch["evrel_seq_out_ones"].reshape(-1)
+    ).reshape(batch["evrel_seq_out_ones"].shape)
+    dev2 = {k: jnp.asarray(v) for k, v in batch2.items()}
+    out2 = jax.jit(lambda v, b: m_vid.apply(v, b))(v_vid, dev2)
+    np.testing.assert_allclose(
+        np.asarray(out1["mdl_out"]), np.asarray(out2["mdl_out"]), atol=1e-5
+    )
+
+    m_txe = build_model(mk(env, "txe_evrel"), comm)
+    v_txe = init_model_variables(m_txe, batch)
+    out3 = jax.jit(lambda v, b: m_txe.apply(v, b))(v_txe, dev)
+    # txe (video zeroed) must be invariant to frm_feats
+    batch3 = dict(batch)
+    batch3["frm_feats"] = batch["frm_feats"] * 0 + 7.0
+    dev3 = {k: jnp.asarray(v) for k, v in batch3.items()}
+    out4 = jax.jit(lambda v, b: m_txe.apply(v, b))(v_txe, dev3)
+    np.testing.assert_allclose(
+        np.asarray(out3["mdl_out"]), np.asarray(out4["mdl_out"]), atol=1e-5
+    )
+
+
+def test_evrel_train_eval_end_to_end(env):
+    cfg = mk(env, "sfpret_evrel")
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    model = build_model(cfg, comm)
+    batch = next(iter(data.train_dl))
+    variables = init_model_variables(model, batch)
+    evalb = EvalB_Acc(cfg, comm, model)
+    learner = Learner(
+        uid="evrel_e2e", cfg=cfg, model=model, variables=variables,
+        data=data, eval_fn=evalb,
+    )
+    losses = learner.overfit_batch(epochs=8, lr=1e-3)
+    assert losses[-1] < losses[0]
+    val_loss, val_acc, _ = learner.validate(write_to_file=True)
+    assert set(val_acc) == {"Macro_Top_1", "Top_1"}
+    assert 0.0 <= val_acc["Top_1"] <= 1.0
+
+    import pickle
+
+    preds = pickle.load(open(learner.predictions_dir / "valid_0.pkl", "rb"))
+    assert len(preds) == 4
+    assert set(preds[0].keys()) == {
+        "pred_evrels_ev", "pred_scores_ev", "ann_idx"
+    }
+    assert len(preds[0]["pred_evrels_ev"]) == 4
+    assert len(preds[0]["pred_evrels_ev"][0]) == 3  # 3 valid annotators
+    assert preds[0]["pred_evrels_ev"][0][0] in comm.evrel_dct

@@ -120,6 +120,73 @@ class EvalB:
         return {"loss": 0.0}, val_acc
 
 
+class EvalB_Acc:
+    """EvRel classification evaluator (evl_vsitu.py:217-261)."""
+
+    met_keys = ["Macro_Top_1", "Top_1"]
+
+    def __init__(self, cfg, comm, model, split_type: str = "valid",
+                 rank: int = 0, world_size: int = 1):
+        import jax
+
+        self.cfg = cfg
+        self.comm = comm
+        self.split_type = split_type
+        self.rank = rank
+        self.world_size = world_size
+        self.evl_met = EvlFn_EvRel(cfg, comm, self.met_keys)
+        self.loss_keys = ["loss"]
+        self.forward = jax.jit(lambda v, b: model.apply(v, b)["mdl_out"])
+
+    def decode_batch(self, mdl_out: np.ndarray, ann_lst: np.ndarray) -> List[Dict]:
+        # mdl_out: (B, 4, N, 5) -> top-1 relation string per pair/annotator
+        opp = self.comm.evrel_dct_opp
+        x = mdl_out.astype(np.float64)
+        probs = np.exp(x - x.max(-1, keepdims=True))
+        probs = probs / probs.sum(-1, keepdims=True)
+        top1 = probs.argmax(-1)  # (B, 4, N)
+        out = []
+        for bix in range(mdl_out.shape[0]):
+            pred_rows = []
+            score_rows = []
+            for ev in range(4):
+                pred_rows.append([opp[int(i)] for i in top1[bix, ev]])
+                score_rows.append(
+                    [float(probs[bix, ev, n, top1[bix, ev, n]])
+                     for n in range(top1.shape[2])]
+                )
+            out.append(
+                {
+                    "pred_evrels_ev": pred_rows,
+                    "pred_scores_ev": score_rows,
+                    "ann_idx": int(ann_lst[bix]),
+                }
+            )
+        return out
+
+    def __call__(self, variables, dl, dl_name, pred_path, write_to_file=True):
+        results: List[Dict] = []
+        bsv = dl.batch_size
+        for batch in dl:
+            padded = pad_batch_to(batch, bsv)
+            mdl_out = np.asarray(
+                self.forward(
+                    variables, {k: jnp.asarray(v) for k, v in padded.items()}
+                )
+            )
+            results += self.decode_batch(mdl_out, padded["vseg_idx"])
+        seen = set()
+        uniq = [r for r in results
+                if r["ann_idx"] not in seen and not seen.add(r["ann_idx"])]
+        fname = Path(pred_path) / f"{dl_name}_{self.rank}.pkl"
+        write_pickle(uniq, fname)
+        out_acc = self.evl_met.simple_acc_evrel(
+            str(fname), split_type=self.split_type
+        )
+        val_acc = {k: float(out_acc[k]) for k in self.met_keys if k in out_acc}
+        return {"loss": 0.0}, val_acc
+
+
 class EvalB_Gen:
     """SRL generation evaluator (evl_vsitu.py:148-214)."""
 

@@ -30,15 +30,35 @@ def build_model(cfg, comm):
     mdl_name = cfg.mdl.mdl_name
     dtype, param_dtype = compute_dtypes(cfg)
     if task == "vb_arg":
-        assert mdl_name in SRL_MDL_NAMES, (
-            f"vb_arg model {mdl_name} not available (gpt2 variants land "
-            "with the gpt2 port)"
-        )
+        assert mdl_name in SRL_MDL_NAMES, f"unknown vb_arg model {mdl_name}"
         tok = comm.gpt2_hf_tok
-        dec_cfg = TxConfig.from_cfg(
-            cfg.tx_dec, len(tok), tok.pad_token_id, side="decoder",
-            dtype=dtype, param_dtype=param_dtype,
-        )
+        if mdl_name == "new_gpt2_only":
+            # GPT-2 architecture (pre-norm, gelu, learned positions, tied
+            # in/out embeddings), dims from cfg.gpt2_mdl
+            g = cfg.gpt2_mdl
+            dec_cfg = TxConfig(
+                vocab_size=len(tok),
+                d_model=g.d_model,
+                ffn_dim=4 * g.d_model,
+                n_layers=g.n_layers,
+                n_heads=g.n_heads,
+                dropout=0.1,
+                max_len=g.max_pos,
+                normalize_before=True,
+                scale_embed=False,
+                learned_pos=True,
+                share_in_out_embed=True,
+                pad_id=tok.pad_token_id,
+                activation="gelu",
+                final_ln=True,
+                dtype=dtype,
+                param_dtype=param_dtype,
+            )
+        else:
+            dec_cfg = TxConfig.from_cfg(
+                cfg.tx_dec, len(tok), tok.pad_token_id, side="decoder",
+                dtype=dtype, param_dtype=param_dtype,
+            )
         enc_cfg = TxConfig.from_cfg(
             cfg.tx_dec, len(tok), tok.pad_token_id, side="encoder",
             dtype=dtype, param_dtype=param_dtype,

@@ -31,6 +31,7 @@ from .transformer import TransformerDecoder, TransformerEncoder, TxConfig
 
 SRL_MDL_NAMES = (
     "tx_only",
+    "new_gpt2_only",  # GPT-2-flavored decoder-only LM (Simple_GPT2_New)
     "txed_only",
     "sfpret_txed_vbarg",
     "sfpret_txe_txd_vbarg",
@@ -68,7 +69,7 @@ class SRLModel(nn.Module):
 
     @property
     def has_cross(self) -> bool:
-        return self.mdl_name != "tx_only"
+        return self.mdl_name not in ("tx_only", "new_gpt2_only")
 
     def setup(self):
         assert self.mdl_name in SRL_MDL_NAMES, self.mdl_name
@@ -95,7 +96,7 @@ class SRLModel(nn.Module):
         self, inp: Dict[str, jnp.ndarray], deterministic: bool = True
     ) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
         """Returns (enc_out (B*5, S, D), enc_pad_mask (B*5, S)) or Nones."""
-        if self.mdl_name == "tx_only":
+        if self.mdl_name in ("tx_only", "new_gpt2_only"):
             return None, None
         if self.mdl_name == "txed_only":
             # language-only enc-dec: encode the event's verb tokens

@@ -52,6 +52,9 @@ class TxConfig:
     learned_pos: bool = False
     share_in_out_embed: bool = False
     pad_id: int = 0
+    activation: str = "relu"  # "relu" | "gelu" (gelu: GPT-2 flavor)
+    final_ln: bool = False  # LayerNorm before the output projection
+    ln_eps: float = 1e-5  # fairseq/GPT-2/RoBERTa all use 1e-5
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -170,6 +173,7 @@ class FFN(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
     dropout: float = 0.0
+    activation: str = "relu"
 
     def setup(self):
         self.fc1 = nn.Dense(self.ffn_dim, dtype=self.dtype,
@@ -178,7 +182,15 @@ class FFN(nn.Module):
                             param_dtype=self.param_dtype, name="fc2")
 
     def __call__(self, x, deterministic: bool = True):
-        h = nn.relu(self.fc1(x))
+        h = self.fc1(x)
+        if self.activation == "relu":
+            h = nn.relu(h)
+        elif self.activation == "gelu":  # GPT-2's gelu_new (tanh approx)
+            h = nn.gelu(h, approximate=True)
+        elif self.activation == "gelu_exact":  # BERT/RoBERTa erf gelu
+            h = nn.gelu(h, approximate=False)
+        else:
+            raise NotImplementedError(self.activation)
         if self.dropout > 0.0 and not deterministic:
             rng = self.make_rng("dropout")
             keep = jax.random.bernoulli(rng, 1.0 - self.dropout, h.shape)
@@ -202,11 +214,13 @@ class EncoderLayer(nn.Module):
             c.d_model, c.n_heads, c.dtype, c.param_dtype, c.attn_dropout,
             name="self_attn",
         )
-        self.self_attn_ln = nn.LayerNorm(dtype=c.dtype, param_dtype=c.param_dtype,
+        self.self_attn_ln = nn.LayerNorm(epsilon=c.ln_eps, use_fast_variance=False,
+                                 dtype=c.dtype, param_dtype=c.param_dtype,
                                          name="self_attn_ln")
         self.ffn = FFN(c.d_model, c.ffn_dim, c.dtype, c.param_dtype,
-                       c.act_dropout, name="ffn")
-        self.final_ln = nn.LayerNorm(dtype=c.dtype, param_dtype=c.param_dtype,
+                       c.act_dropout, c.activation, name="ffn")
+        self.final_ln = nn.LayerNorm(epsilon=c.ln_eps, use_fast_variance=False,
+                                 dtype=c.dtype, param_dtype=c.param_dtype,
                                      name="final_ln")
 
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -241,7 +255,8 @@ class DecoderLayer(nn.Module):
             c.d_model, c.n_heads, c.dtype, c.param_dtype, c.attn_dropout,
             name="self_attn",
         )
-        self.self_attn_ln = nn.LayerNorm(dtype=c.dtype, param_dtype=c.param_dtype,
+        self.self_attn_ln = nn.LayerNorm(epsilon=c.ln_eps, use_fast_variance=False,
+                                 dtype=c.dtype, param_dtype=c.param_dtype,
                                          name="self_attn_ln")
         if self.has_cross:
             self.cross_attn = MultiHeadAttention(
@@ -249,11 +264,13 @@ class DecoderLayer(nn.Module):
                 name="cross_attn",
             )
             self.cross_attn_ln = nn.LayerNorm(
+                epsilon=c.ln_eps, use_fast_variance=False,
                 dtype=c.dtype, param_dtype=c.param_dtype, name="cross_attn_ln"
             )
         self.ffn = FFN(c.d_model, c.ffn_dim, c.dtype, c.param_dtype,
-                       c.act_dropout, name="ffn")
-        self.final_ln = nn.LayerNorm(dtype=c.dtype, param_dtype=c.param_dtype,
+                       c.act_dropout, c.activation, name="ffn")
+        self.final_ln = nn.LayerNorm(epsilon=c.ln_eps, use_fast_variance=False,
+                                 dtype=c.dtype, param_dtype=c.param_dtype,
                                      name="final_ln")
 
     def __call__(
@@ -391,6 +408,10 @@ class TransformerDecoder(nn.Module):
             DecoderLayer(c, has_cross=self.has_cross, name=f"layers_{i}")
             for i in range(c.n_layers)
         ]
+        if c.final_ln:
+            self.ln_f = nn.LayerNorm(epsilon=c.ln_eps, use_fast_variance=False,
+                                 dtype=c.dtype, param_dtype=c.param_dtype,
+                                     name="ln_f")
         if not c.share_in_out_embed:
             self.output_proj = nn.Dense(
                 c.vocab_size, use_bias=False, dtype=c.dtype,
@@ -414,6 +435,8 @@ class TransformerDecoder(nn.Module):
 
     def _logits(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
+        if c.final_ln:
+            x = self.ln_f(x)
         if c.share_in_out_embed:
             w = self.embed_tokens.embedding.astype(x.dtype)
             return x @ w.T
