@@ -55,7 +55,87 @@ def conv_seq_to_srl(inp_seq: str, ag_start_values) -> Dict[str, str]:
     return vb_dct
 
 
-class EvalB:
+
+class _BaseEvaluator:
+    """Shared evaluator loop: jitted forward over the loader, static-shape
+    padding, per-rank pkl write, host-0 merge across ranks
+    (evl_vsitu.py:77-145), then task scoring."""
+
+    met_keys: List[str] = []
+
+    def __init__(self, cfg, comm, split_type: str = "valid", rank: int = 0,
+                 world_size: int = 1):
+        self.cfg = cfg
+        self.comm = comm
+        self.split_type = split_type
+        self.rank = rank
+        self.world_size = world_size
+        self.loss_keys = ["loss"]
+
+    def run_model(self, variables, batch):
+        raise NotImplementedError
+
+    def decode_batch(self, out, ann_lst) -> List[Dict]:
+        raise NotImplementedError
+
+    def score(self, fname: str) -> Dict:
+        raise NotImplementedError
+
+    def _merge_ranks(self, pred_path, dl_name, own_results):
+        """Rank 0 concatenates every rank's pickle (filesystem gather,
+        identical format to the reference)."""
+        import time as _time
+
+        fname = Path(pred_path) / f"{dl_name}_{self.rank}.pkl"
+        write_pickle(own_results, fname)
+        if self.world_size > 1:
+            try:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("eval_pkl_write")
+            except Exception:
+                _time.sleep(1.0)
+        if self.rank != 0:
+            return None
+        merged = list(own_results)
+        for w in range(1, self.world_size):
+            other = Path(pred_path) / f"{dl_name}_{w}.pkl"
+            for _ in range(300):
+                if other.exists():
+                    break
+                _time.sleep(0.1)
+            with open(other, "rb") as f:
+                import pickle as _pkl
+
+                merged += _pkl.load(f)
+        fname0 = Path(pred_path) / f"{dl_name}_0.pkl"
+        write_pickle(merged, fname0)
+        return fname0
+
+    def __call__(self, variables, dl, dl_name, pred_path, write_to_file=True):
+        results: List[Dict] = []
+        bsv = dl.batch_size
+        for batch in dl:
+            padded = pad_batch_to(batch, bsv)
+            out = self.run_model(
+                variables, {k: jnp.asarray(v) for k, v in padded.items()}
+            )
+            results += self.decode_batch(out, padded["vseg_idx"])
+        seen = set()
+        uniq = [r for r in results
+                if r["ann_idx"] not in seen and not seen.add(r["ann_idx"])]
+        fname0 = self._merge_ranks(pred_path, dl_name, uniq)
+        if fname0 is None:  # non-zero rank: zeros like the reference
+            return (
+                {k: 0.0 for k in self.loss_keys},
+                {k: 0.0 for k in self.met_keys},
+            )
+        out_acc = self.score(str(fname0))
+        val_acc = {k: float(out_acc[k]) for k in self.met_keys if k in out_acc}
+        return {"loss": 0.0}, val_acc
+
+
+class EvalB(_BaseEvaluator):
     """Verb-prediction evaluator (evl_vsitu.py:21-145): softmax -> top-5
     verb strings per event -> pkl -> EvlFn_Vb."""
 
@@ -65,16 +145,17 @@ class EvalB:
                  rank: int = 0, world_size: int = 1):
         import jax
 
-        self.cfg = cfg
-        self.comm = comm
-        self.split_type = split_type
-        self.rank = rank
-        self.world_size = world_size
+        super().__init__(cfg, comm, split_type, rank, world_size)
         self.evl_met = EvlFn_Vb(cfg, comm, self.met_keys)
-        self.loss_keys = ["loss"]
         self.forward = jax.jit(
             lambda v, b: model.apply(v, b)["mdl_out"]
         )
+
+    def run_model(self, variables, batch):
+        return np.asarray(self.forward(variables, batch))
+
+    def score(self, fname: str):
+        return self.evl_met.simple_acc(fname, split_type=self.split_type)
 
     def decode_batch(self, mdl_out: np.ndarray, ann_lst: np.ndarray,
                      topk: int = 5) -> List[Dict]:
@@ -99,28 +180,8 @@ class EvalB:
             )
         return out
 
-    def __call__(self, variables, dl, dl_name, pred_path, write_to_file=True):
-        results: List[Dict] = []
-        bsv = dl.batch_size
-        for batch in dl:
-            padded = pad_batch_to(batch, bsv)
-            mdl_out = np.asarray(
-                self.forward(
-                    variables, {k: jnp.asarray(v) for k, v in padded.items()}
-                )
-            )
-            results += self.decode_batch(mdl_out, padded["vseg_idx"])
-        seen = set()
-        uniq = [r for r in results
-                if r["ann_idx"] not in seen and not seen.add(r["ann_idx"])]
-        fname = Path(pred_path) / f"{dl_name}_{self.rank}.pkl"
-        write_pickle(uniq, fname)
-        out_acc = self.evl_met.simple_acc(str(fname), split_type=self.split_type)
-        val_acc = {k: float(out_acc[k]) for k in self.met_keys if k in out_acc}
-        return {"loss": 0.0}, val_acc
 
-
-class EvalB_Acc:
+class EvalB_Acc(_BaseEvaluator):
     """EvRel classification evaluator (evl_vsitu.py:217-261)."""
 
     met_keys = ["Macro_Top_1", "Top_1"]
@@ -129,14 +190,15 @@ class EvalB_Acc:
                  rank: int = 0, world_size: int = 1):
         import jax
 
-        self.cfg = cfg
-        self.comm = comm
-        self.split_type = split_type
-        self.rank = rank
-        self.world_size = world_size
+        super().__init__(cfg, comm, split_type, rank, world_size)
         self.evl_met = EvlFn_EvRel(cfg, comm, self.met_keys)
-        self.loss_keys = ["loss"]
         self.forward = jax.jit(lambda v, b: model.apply(v, b)["mdl_out"])
+
+    def run_model(self, variables, batch):
+        return np.asarray(self.forward(variables, batch))
+
+    def score(self, fname: str):
+        return self.evl_met.simple_acc_evrel(fname, split_type=self.split_type)
 
     def decode_batch(self, mdl_out: np.ndarray, ann_lst: np.ndarray) -> List[Dict]:
         # mdl_out: (B, 4, N, 5) -> top-1 relation string per pair/annotator
@@ -164,46 +226,26 @@ class EvalB_Acc:
             )
         return out
 
-    def __call__(self, variables, dl, dl_name, pred_path, write_to_file=True):
-        results: List[Dict] = []
-        bsv = dl.batch_size
-        for batch in dl:
-            padded = pad_batch_to(batch, bsv)
-            mdl_out = np.asarray(
-                self.forward(
-                    variables, {k: jnp.asarray(v) for k, v in padded.items()}
-                )
-            )
-            results += self.decode_batch(mdl_out, padded["vseg_idx"])
-        seen = set()
-        uniq = [r for r in results
-                if r["ann_idx"] not in seen and not seen.add(r["ann_idx"])]
-        fname = Path(pred_path) / f"{dl_name}_{self.rank}.pkl"
-        write_pickle(uniq, fname)
-        out_acc = self.evl_met.simple_acc_evrel(
-            str(fname), split_type=self.split_type
-        )
-        val_acc = {k: float(out_acc[k]) for k in self.met_keys if k in out_acc}
-        return {"loss": 0.0}, val_acc
 
 
-class EvalB_Gen:
+class EvalB_Gen(_BaseEvaluator):
     """SRL generation evaluator (evl_vsitu.py:148-214)."""
 
     met_keys = ["cider", "rouge", "lea", "MacroVb_cider", "MacroArg_cider"]
 
     def __init__(self, cfg, comm, generate_fn, split_type: str = "valid",
                  rank: int = 0, world_size: int = 1):
-        self.cfg = cfg
-        self.comm = comm
+        super().__init__(cfg, comm, split_type, rank, world_size)
         self.generate_fn = generate_fn
-        self.split_type = split_type
-        self.rank = rank
-        self.world_size = world_size
         self.evl_met = EvalFnCap(
             cfg, comm, met_keys=["cider", "bleu", "rouge"]
         )
-        self.loss_keys = ["loss"]
+
+    def run_model(self, variables, batch):
+        return np.asarray(self.generate_fn(variables, batch))
+
+    def score(self, fname: str):
+        return self.evl_met.eval_cap_mets(fname, split_type=self.split_type)
 
     def decode_batch(self, out_sents: np.ndarray, ann_lst: np.ndarray) -> List[Dict]:
         wvoc = self.comm.gpt2_hf_tok
@@ -221,28 +263,4 @@ class EvalB_Gen:
             )
         return out
 
-    def __call__(self, variables, dl, dl_name, pred_path, write_to_file=True):
-        results: List[Dict] = []
-        bsv = dl.batch_size
-        for batch in dl:
-            padded = pad_batch_to(batch, bsv)
-            out_sents = np.asarray(
-                self.generate_fn(variables, {
-                    k: jnp.asarray(v) for k, v in padded.items()
-                })
-            )
-            results += self.decode_batch(out_sents, padded["vseg_idx"])
-        # dedup padded duplicates, keep first per ann_idx
-        seen = set()
-        uniq = []
-        for r in results:
-            if r["ann_idx"] not in seen:
-                seen.add(r["ann_idx"])
-                uniq.append(r)
-        fname = Path(pred_path) / f"{dl_name}_{self.rank}.pkl"
-        write_pickle(uniq, fname)
-        out_acc = self.evl_met.eval_cap_mets(
-            str(fname), split_type=self.split_type
-        )
-        val_acc = {k: float(out_acc[k]) for k in self.met_keys if k in out_acc}
-        return {"loss": 0.0}, val_acc
+

@@ -92,7 +92,10 @@ def build_vb_model(cfg, comm):
     from .selector import compute_dtypes
 
     dtype, param_dtype = compute_dtypes(cfg)
-    vid_cfg = VideoCfg.from_cfg(cfg.vid_mdl, dtype=dtype, param_dtype=param_dtype)
+    vid_cfg = VideoCfg.from_cfg(
+        cfg.vid_mdl, dtype=dtype, param_dtype=param_dtype,
+        remat=cfg.train.remat,
+    )
     return VbVideoModel(vid_cfg=vid_cfg, num_classes=len(comm.vb_id_vocab))
 
 
@@ -100,5 +103,8 @@ def build_feat_extractor(cfg):
     from .selector import compute_dtypes
 
     dtype, param_dtype = compute_dtypes(cfg)
-    vid_cfg = VideoCfg.from_cfg(cfg.vid_mdl, dtype=dtype, param_dtype=param_dtype)
+    vid_cfg = VideoCfg.from_cfg(
+        cfg.vid_mdl, dtype=dtype, param_dtype=param_dtype,
+        remat=cfg.train.remat,
+    )
     return VbVideoModel(vid_cfg=vid_cfg, num_classes=0)

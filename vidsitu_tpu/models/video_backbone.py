@@ -58,13 +58,15 @@ class VideoCfg:
     nl_location: Tuple[Tuple[Tuple[int, ...], ...], ...] = ((), (), (), ())
     nl_instantiation: str = "softmax"
     zero_init_final_bn: bool = True
+    remat: bool = False  # jax.checkpoint each bottleneck (memory saver)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
 
     @classmethod
-    def from_cfg(cls, vid_mdl, dtype=jnp.float32, param_dtype=jnp.float32):
+    def from_cfg(cls, vid_mdl, dtype=jnp.float32, param_dtype=jnp.float32,
+                 remat=False):
         nl_loc = []
         for stage_loc in vid_mdl.nl.location:
             # per-pathway lists; keep as tuple-of-tuples
@@ -83,6 +85,7 @@ class VideoCfg:
             nl_location=tuple(nl_loc),
             nl_instantiation=vid_mdl.nl.instantiation,
             zero_init_final_bn=vid_mdl.resnet.zero_init_final_bn,
+            remat=remat,
             dtype=dtype,
             param_dtype=param_dtype,
         )
@@ -216,8 +219,13 @@ class ResStage(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block_cls = (
+            nn.remat(Bottleneck, static_argnums=(2,))
+            if self.cfg.remat
+            else Bottleneck
+        )
         for i in range(self.n_blocks):
-            x = Bottleneck(
+            x = block_cls(
                 dim_out=self.dim_out,
                 dim_inner=self.dim_inner,
                 temp_kernel=self.temp_kernel,

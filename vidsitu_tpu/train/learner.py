@@ -129,8 +129,28 @@ class Learner:
 
     # -- step compilation ---------------------------------------------------------
     def prepare_optimizer(self, lr: float):
-        self.optimizer = optax.adam(lr, b1=0.9, b2=0.99)
+        """Adam(0.9, 0.99) + optional gradient accumulation, with the lr
+        injected as a mutable hyperparameter (for reduce-on-plateau)."""
+        base = optax.inject_hyperparams(
+            lambda learning_rate: optax.adam(learning_rate, b1=0.9, b2=0.99)
+        )(learning_rate=lr)
+        accum = int(self.cfg.train.grad_accum)
+        if accum > 1:
+            base = optax.MultiSteps(base, every_k_schedule=accum)
+        self.optimizer = base
+        self._grad_accum = accum
+        self._lr = lr
         self.opt_state = self.optimizer.init(self.variables["params"])
+
+    def _set_lr(self, lr: float):
+        self._lr = lr
+        state = self.opt_state
+        if self._grad_accum > 1:
+            state.inner_opt_state.hyperparams["learning_rate"] = (
+                jnp.asarray(lr, jnp.float32)
+            )
+        else:
+            state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
 
     def _build_train_step(self) -> Callable:
         model = self.model
@@ -186,12 +206,23 @@ class Learner:
         dl.set_epoch(self.num_epoch)
         params, extra = self._split_vars()
         losses = []
-        for batch in dl:
+        profiling = (
+            self.cfg.tpu.profile and self.num_epoch == 0 and jax is not None
+        )
+        prof_dir = str(Path(self.cfg.misc.tmp_path) / "profile" / self.uid)
+        for bix, batch in enumerate(dl):
+            if profiling and bix == 1:
+                jax.profiler.start_trace(prof_dir)
             batch = shard_batch(batch, self.mesh)
             self.rng, step_rng = jax.random.split(self.rng)
             params, extra, self.opt_state, loss = train_step(
                 params, extra, self.opt_state, batch, step_rng
             )
+            if profiling and bix == self.cfg.tpu.profile_steps:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                profiling = False
+                self.logger.info("profiler trace written to %s", prof_dir)
             self.num_it += 1
             lossf = float(loss)
             if np.isnan(lossf):
@@ -203,6 +234,8 @@ class Learner:
                     "it %d loss %.4f smooth %.4f",
                     self.num_it, lossf, smoother.smooth["loss"],
                 )
+        if profiling:  # epoch shorter than profile window
+            jax.profiler.stop_trace()
         self.variables = dict(extra, params=params)
         return {"loss": float(np.mean(losses)) if losses else float("nan")}
 
@@ -221,6 +254,9 @@ class Learner:
         return out_loss, out_acc, {}
 
     def fit(self, epochs: int, lr: float):
+        from .tracking import Tracker
+        from ..utils.config import CfgProcessor as _CP
+
         self.prepare_optimizer(lr)
         train_step = self._build_train_step()
         smoother = SmoothenDict(self.loss_keys)
@@ -228,6 +264,9 @@ class Learner:
         hdr = ["epochs", "trn_loss", "val_loss"] + list(met_keys)
         self.update_log_file("  ".join(hdr))
         st_time = time.time()
+        tracker = Tracker(self.cfg, self.uid)
+        tracker.log_params(_CP.cfg_to_flat_dct(self.cfg))
+        plateau_wait = 0
         try:
             for _ep in range(epochs):
                 ep_start = time.time()
@@ -235,9 +274,26 @@ class Learner:
                 val_loss, val_acc, _ = self.validate()
                 self.num_epoch += 1
                 met0 = float(val_acc[met_keys[0]])
-                if self.best_met is None or met0 >= self.best_met:
+                improved = self.best_met is None or met0 >= self.best_met
+                if improved:
                     self.best_met = met0
                     self.save_model_dict()
+                    plateau_wait = 0
+                elif self.cfg.train.use_reduce_lr_plateau:
+                    plateau_wait += 1
+                    if plateau_wait >= self.cfg.train.plateau_patience:
+                        self._set_lr(self._lr * self.cfg.train.plateau_factor)
+                        plateau_wait = 0
+                        self.logger.info("plateau: lr -> %.2e", self._lr)
+                tracker.log_metrics(
+                    {
+                        "trn_loss": trn_loss["loss"],
+                        "val_loss": float(val_loss.get("loss", 0.0)),
+                        "lr": self._lr,
+                        **{k: float(v) for k, v in val_acc.items()},
+                    },
+                    step=self.num_epoch,
+                )
                 if self.cfg.train.save_mdl_epochs:
                     self.model_epoch_dir.mkdir(parents=True, exist_ok=True)
                     self.save_model_dict(
@@ -257,8 +313,11 @@ class Learner:
         except Exception as e:  # reference logs + keeps best model
             self.update_log_file(f"exited due to exception {e!r}")
             self.update_log_file(f"elapsed {time.time() - st_time:.1f}s")
+            tracker.end_run()
             raise
         self.update_log_file(f"epochs done. elapsed {time.time() - st_time:.1f}s")
+        tracker.log_artifact(self.txt_log_file)
+        tracker.end_run()
 
     def overfit_batch(self, epochs: int, lr: float):
         """Single-batch convergence sanity (trn_utils.py:915-939)."""
