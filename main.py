@@ -54,6 +54,9 @@ def main_fn(cfg, uid: str):
     model = build_model(cfg, comm)
     batch = next(iter(data.train_dl))
     variables = init_model_variables(model, batch, seed=cfg.train.seed)
+    from vidsitu_tpu.train.pretrained import load_pretrained_variables
+
+    variables = load_pretrained_variables(cfg, model, variables)
 
     if cfg.task_type == "vb_arg":
         gen_fn = build_srl_generate_fn(cfg, comm, model)

@@ -161,3 +161,46 @@ def test_tracker_files(env):
     assert "trn_loss" in rec and "cider" in rec and rec["step"] == 1
     params = json.loads((tdir / "params.json").read_text())
     assert params["train.bs"] == "8"
+
+
+def test_freeze_backbone_mask(tmp_path):
+    """freeze_sfbase: backbone params unchanged, head params move."""
+    from vidsitu_tpu.train.pretrained import make_freeze_mask
+
+    paths = make_synth_dataset(tmp_path / "fz", n_train=8, n_valid=4,
+                               seed=71, with_frames=True)
+    cfg = get_cfg_with_overrides(
+        "freeze",
+        **{
+            **paths,
+            "task_type": "vb",
+            "mdl.mdl_name": "sf_base",
+            "vid_mdl.resnet.depth": 26,
+            "vid_mdl.crop_size": 32,
+            "vid_mdl.num_frames": 4,
+            "train.bs": 8,
+            "train.nw": 0,
+            "train.dtype": "float32",
+            "train.freeze_sfbase": True,
+            "misc.tmp_path": str(tmp_path / "tmp"),
+        },
+    )
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    model = build_model(cfg, comm)
+    batch = next(iter(data.train_dl))
+    variables = init_model_variables(model, batch, seed=3)
+    from vidsitu_tpu.evaluation.evaluators import EvalB
+
+    learner = Learner(
+        uid="freeze", cfg=cfg, model=model, variables=variables,
+        data=data, eval_fn=EvalB(cfg, comm, model),
+    )
+    assert learner._grad_mask is not None
+    b0 = np.asarray(jax.tree.leaves(variables["params"]["backbone"])[0])
+    h0 = np.asarray(jax.tree.leaves(variables["params"]["proj_head"])[0])
+    learner.overfit_batch(epochs=2, lr=1e-2)
+    b1 = np.asarray(jax.tree.leaves(learner.variables["params"]["backbone"])[0])
+    h1 = np.asarray(jax.tree.leaves(learner.variables["params"]["proj_head"])[0])
+    np.testing.assert_array_equal(b0, b1)  # frozen
+    assert not np.allclose(h0, h1)  # trained

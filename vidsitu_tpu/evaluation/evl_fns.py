@@ -620,3 +620,37 @@ def evaluate_predictions(
 
     write_json(out_results, out_file)
     return out_results
+
+
+def main(argv=None):
+    """CLI: python -m vidsitu_tpu.evaluation.evl_fns --pred_file=... ...
+    (reference: python vidsitu_code/evl_fns.py, :709-761)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="offline leaderboard scoring")
+    ap.add_argument("--pred_file", required=True)
+    ap.add_argument("--task_type", required=True,
+                    choices=["vb", "vb_arg", "evrel"])
+    ap.add_argument("--split_file_path", required=True)
+    ap.add_argument("--vinfo_file_path", required=True)
+    ap.add_argument("--vsitu_ann_file_path", required=True)
+    ap.add_argument("--split_type", required=True)
+    ap.add_argument("--out_file", default="./results/results.json")
+    args = ap.parse_args(argv)
+    out = evaluate_predictions(
+        pred_file=args.pred_file,
+        task_type=args.task_type,
+        split_file_path=args.split_file_path,
+        vinfo_file_path=args.vinfo_file_path,
+        vsitu_ann_file_path=args.vsitu_ann_file_path,
+        split_type=args.split_type,
+        out_file=args.out_file,
+    )
+    import json as _json
+
+    print(_json.dumps({k: v for k, v in out.items()
+                       if not isinstance(v, dict)}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,3 +77,55 @@ def extract_features(
                 n += 1
         counts[split] = n
     return counts
+
+
+def main(argv=None):
+    """CLI: python -m vidsitu_tpu.extract --split=valid --split=train ...
+    (reference: python vidsitu_code/feat_extractor.py, :115-179)."""
+    import argparse
+    import os
+
+    import jax as _jax
+
+    if os.environ.get("VIDSITU_PLATFORM"):
+        _jax.config.update("jax_platforms", os.environ["VIDSITU_PLATFORM"])
+
+    ap = argparse.ArgumentParser(description="extract video features")
+    ap.add_argument("--split", action="append", default=None)
+    ap.add_argument("--out_dir", default=None)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--ckpt", default="", help="converted SFBase checkpoint")
+    ap.add_argument("overrides", nargs="*", help="--dotted.key=value")
+    args, unknown = ap.parse_known_args(argv)
+
+    from .data.comm import build_comm
+    from .utils.config import get_cfg_with_overrides
+
+    overrides = {}
+    for tok in list(args.overrides) + list(unknown):
+        assert tok.startswith("--") and "=" in tok, tok
+        k, v = tok[2:].split("=", 1)
+        overrides[k] = v
+    cfg = get_cfg_with_overrides("featext", **overrides)
+    comm = build_comm(cfg)
+    variables = None
+    if args.ckpt:
+        from .convert.hf_torch import load_torch_state_dict
+        from .convert.slowfast_torch import convert_sfbase_checkpoint
+
+        sd = load_torch_state_dict(args.ckpt)
+        conv = convert_sfbase_checkpoint(sd, cfg.vid_mdl.arch)
+        variables = {
+            "params": {"backbone": conv["params"]["backbone"]},
+            "batch_stats": {"backbone": conv["batch_stats"]["backbone"]},
+        }
+    counts = extract_features(
+        cfg, comm, variables=variables,
+        splits=args.split or ["valid", "train"],
+        out_dir=args.out_dir, batch_size=args.batch_size,
+    )
+    print(counts)
+
+
+if __name__ == "__main__":
+    main()

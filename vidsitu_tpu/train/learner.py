@@ -81,6 +81,9 @@ class Learner:
         self.opt_state = None
         self.optimizer = None
         self.rng = jax.random.PRNGKey(cfg.train.seed)
+        from .pretrained import make_freeze_mask
+
+        self._grad_mask = make_freeze_mask(cfg, self.variables["params"])
         ndev = int(self.mesh.devices.size)
         assert data.train_dl.batch_size % ndev == 0, (
             f"per-process batch {data.train_dl.batch_size} must be divisible "
@@ -160,6 +163,7 @@ class Learner:
         # non-param collections (e.g. BatchNorm batch_stats) are threaded
         # through the step and updated mutably
         extra_cols = [k for k in self.variables if k != "params"]
+        grad_mask = self._grad_mask
 
         def train_step(params, extra, opt_state, batch, rng):
             def loss_fn(p):
@@ -183,6 +187,8 @@ class Learner:
             (loss, new_extra), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
+            if grad_mask is not None:
+                grads = jax.tree.map(lambda g, m: g * m, grads, grad_mask)
             updates, opt_state = optimizer.update(updates=grads,
                                                   state=opt_state,
                                                   params=params)
