@@ -1,0 +1,152 @@
+"""caffe2 pickle conversion test on the tiny i3d-nl model."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from vidsitu_tpu.convert.caffe2 import convert_caffe2_backbone
+from vidsitu_tpu.data import build_comm, get_data
+from vidsitu_tpu.data.synth import make_synth_dataset
+from vidsitu_tpu.models.selector import build_model, init_model_variables
+from vidsitu_tpu.utils.config import get_cfg_with_overrides
+from tests.test_slowfast_converter import _flatten
+
+
+def _fabricate_caffe2_blobs(flat_params, flat_stats):
+    rng = np.random.default_rng(0)
+    blobs = {}
+
+    def torch_conv(shape):
+        t, h, w, ci, co = shape
+        return rng.standard_normal((co, ci, t, h, w)).astype(np.float32)
+
+    def put_stats(bn_base, shape):
+        blobs[bn_base + "_rm"] = rng.standard_normal(shape).astype(np.float32)
+        blobs[bn_base + "_riv"] = rng.uniform(0.5, 1.5, shape).astype(np.float32)
+
+    for path, arr in flat_params.items():
+        parts = path[1:]
+        stage = parts[0]
+        if stage == "s1":
+            if path[-1] == "kernel":
+                blobs["conv1_w"] = torch_conv(arr.shape)
+            else:
+                nm = {"scale": "s", "bias": "b"}[path[-1]]
+                blobs[f"res_conv1_bn_{nm}"] = rng.standard_normal(
+                    arr.shape
+                ).astype(np.float32)
+            continue
+        k = stage[1]
+        blk = parts[1]
+        if blk.startswith("block_"):
+            i = blk.split("_")[1]
+            part = parts[2]
+            if part == "proj":
+                base = f"res{k}_{i}_branch1"
+            else:
+                base = f"res{k}_{i}_branch2{part}"
+            if path[-1] == "kernel":
+                blobs[base + "_w"] = torch_conv(arr.shape)
+            else:
+                nm = {"scale": "s", "bias": "b"}[path[-1]]
+                blobs[f"{base}_bn_{nm}"] = rng.standard_normal(
+                    arr.shape
+                ).astype(np.float32)
+        else:  # nl_
+            j = blk.split("_")[1]
+            sub = parts[2]
+            if sub == "bn":
+                nm = {"scale": "s", "bias": "b"}[path[-1]]
+                blobs[f"nonlocal_conv{k}_{j}_bn_{nm}"] = rng.standard_normal(
+                    arr.shape
+                ).astype(np.float32)
+            else:
+                blobs[f"nonlocal_conv{k}_{j}_{sub}_w"] = torch_conv(arr.shape)
+
+    for path, arr in flat_stats.items():
+        parts = path[1:]
+        stage = parts[0]
+        if stage == "s1":
+            if path[-1] == "mean":
+                blobs["res_conv1_bn_rm"] = rng.standard_normal(
+                    arr.shape
+                ).astype(np.float32)
+            else:
+                blobs["res_conv1_bn_riv"] = rng.uniform(
+                    0.5, 1.5, arr.shape
+                ).astype(np.float32)
+            continue
+        k = stage[1]
+        blk = parts[1]
+        suf = {"mean": "rm", "var": "riv"}[path[-1]]
+
+        def arr_of():
+            if suf == "riv":
+                return rng.uniform(0.5, 1.5, arr.shape).astype(np.float32)
+            return rng.standard_normal(arr.shape).astype(np.float32)
+
+        if blk.startswith("block_"):
+            i = blk.split("_")[1]
+            part = parts[2]
+            base = (
+                f"res{k}_{i}_branch1" if part == "proj"
+                else f"res{k}_{i}_branch2{part}"
+            )
+            blobs[f"{base}_bn_{suf}"] = arr_of()
+        else:
+            j = blk.split("_")[1]
+            blobs[f"nonlocal_conv{k}_{j}_bn_{suf}"] = arr_of()
+    # classifier head + momentum blobs must be skipped by the converter
+    blobs["pred_w"] = np.zeros((400, 2048), np.float32)
+    blobs["pred_b"] = np.zeros((400,), np.float32)
+    blobs["conv1_w_momentum"] = np.zeros((1,), np.float32)
+    return blobs
+
+
+def test_caffe2_i3d_conversion(tmp_path):
+    paths = make_synth_dataset(tmp_path / "d", n_train=8, n_valid=4, seed=81,
+                               with_frames=True)
+    cfg = get_cfg_with_overrides(
+        "c2",
+        **{
+            **paths,
+            "task_type": "vb",
+            "mdl.mdl_name": "sf_base",
+            "mdl.sf_mdl_name": "i3d_r50_nl_8x8",
+            "vid_mdl.resnet.depth": 26,
+            "vid_mdl.crop_size": 32,
+            "vid_mdl.num_frames": 4,
+            "train.bs": 8,
+            "train.nw": 0,
+            "train.dtype": "float32",
+        },
+    )
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    batch = next(iter(data.train_dl))
+    model = build_model(cfg, comm)
+    variables = init_model_variables(model, batch)
+    flat_p = _flatten(variables["params"]["backbone"], ("backbone",))
+    flat_s = _flatten(variables["batch_stats"]["backbone"], ("backbone",))
+
+    blobs = _fabricate_caffe2_blobs(flat_p, flat_s)
+    pkl_path = tmp_path / "kinetics_i3d.pkl"
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"blobs": blobs}, f)
+
+    params, stats = convert_caffe2_backbone(str(pkl_path), "i3d")
+    cp = _flatten(params, ("backbone",))
+    cs = _flatten(stats, ("backbone",))
+    assert set(cp.keys()) == set(flat_p.keys())
+    assert set(cs.keys()) == set(flat_s.keys())
+    for k in flat_p:
+        assert cp[k].shape == flat_p[k].shape, k
+
+
+def test_caffe2_slowfast_raises(tmp_path):
+    p = tmp_path / "x.pkl"
+    with open(p, "wb") as f:
+        pickle.dump({"blobs": {}}, f)
+    with pytest.raises(NotImplementedError, match="PySlowFast"):
+        convert_caffe2_backbone(str(p), "slowfast")

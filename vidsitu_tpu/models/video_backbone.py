@@ -155,14 +155,11 @@ class NonLocalBlock(nn.Module):
         q = theta.reshape(b, -1, inner)
         k = phi.reshape(b, -1, inner)
         v = g.reshape(b, -1, inner)
-        attn = jnp.einsum("bqc,bkc->bqk", q, k)
-        if c.nl_instantiation == "softmax":
-            attn = jax.nn.softmax(
-                attn.astype(jnp.float32) * (inner**-0.5), axis=-1
-            ).astype(c.dtype)
-        else:  # dot_product
-            attn = attn / attn.shape[-1]
-        out = jnp.einsum("bqk,bkc->bqc", attn, v).reshape(b, t, h, w, inner)
+        from ..ops.attention import nonlocal_attention
+
+        out = nonlocal_attention(
+            q, k, v, kind=c.nl_instantiation, scale=float(inner) ** -0.5
+        ).astype(c.dtype).reshape(b, t, h, w, inner)
         out = nn.Conv(ch, (1, 1, 1), use_bias=False, dtype=c.dtype,
                       param_dtype=c.param_dtype, name="out")(out)
         out = nn.BatchNorm(

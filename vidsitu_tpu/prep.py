@@ -1,0 +1,151 @@
+"""Dataset preparation tooling (reference: prep_data/dwn_yt.py).
+
+Downloads the 10-second VidSitu clips with yt-dlp, trims with ffmpeg,
+validates size/frame-count with retries, and dumps 30-fps JPEG frames
+``{seg}/{seg}_{ix:06d}.jpg`` — the exact layout the frame dataset reads
+(dat_loader.py:456-459). All external work is subprocess-based and gated
+on the binaries being present (this module is host tooling, not a
+device-compute path).
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import subprocess
+import time
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+
+class MissingToolError(RuntimeError):
+    pass
+
+
+def _require(binary: str):
+    if shutil.which(binary) is None:
+        raise MissingToolError(
+            f"'{binary}' not found on PATH - install it to run data prep"
+        )
+
+
+def parse_seg_name(vid_seg: str) -> Tuple[str, float, float]:
+    """'v_<ytid>_seg_<st>_<end>' -> (ytid, start, end)
+    (reference: dwn_yt.py naming convention)."""
+    assert vid_seg.startswith("v_")
+    body = vid_seg[2:]
+    ytid, seg = body.rsplit("_seg_", 1)
+    st, en = seg.split("_")
+    return ytid, float(st), float(en)
+
+
+def download_clip(
+    vid_seg: str,
+    out_dir,
+    retries: int = 3,
+    min_bytes: int = 20_000,
+) -> Optional[Path]:
+    """Download + trim one 10s segment (dwn_yt.py:150-211)."""
+    _require("yt-dlp")
+    _require("ffmpeg")
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    ytid, st, en = parse_seg_name(vid_seg)
+    out_path = out_dir / f"{vid_seg}.mp4"
+    for attempt in range(retries):
+        try:
+            url = subprocess.run(
+                ["yt-dlp", "-g", "-f", "best[height<=360]",
+                 f"https://www.youtube.com/watch?v={ytid}"],
+                capture_output=True, text=True, timeout=120, check=True,
+            ).stdout.strip().splitlines()[0]
+            subprocess.run(
+                ["ffmpeg", "-y", "-ss", str(st), "-i", url,
+                 "-t", str(en - st), "-c:v", "libx264", "-an",
+                 str(out_path)],
+                capture_output=True, timeout=300, check=True,
+            )
+            if out_path.exists() and out_path.stat().st_size >= min_bytes:
+                return out_path
+        except (subprocess.SubprocessError, IndexError):
+            time.sleep(2.0 * (attempt + 1))
+    return None
+
+
+def count_frames(video_path) -> int:
+    _require("ffprobe")
+    out = subprocess.run(
+        ["ffprobe", "-v", "error", "-select_streams", "v:0",
+         "-count_packets", "-show_entries", "stream=nb_read_packets",
+         "-of", "json", str(video_path)],
+        capture_output=True, text=True, check=True,
+    )
+    return int(json.loads(out.stdout)["streams"][0]["nb_read_packets"])
+
+
+def extract_frames(
+    video_path, frames_root, vid_seg: str, fps: int = 30
+) -> int:
+    """Dump 30fps JPEGs {seg}/{seg}_%06d.jpg (dwn_yt.py:229-280)."""
+    _require("ffmpeg")
+    seg_dir = Path(frames_root) / vid_seg
+    seg_dir.mkdir(parents=True, exist_ok=True)
+    subprocess.run(
+        ["ffmpeg", "-y", "-i", str(video_path), "-r", str(fps), "-q:v", "2",
+         str(seg_dir / f"{vid_seg}_%06d.jpg")],
+        capture_output=True, timeout=300, check=True,
+    )
+    return len(list(seg_dir.glob("*.jpg")))
+
+
+def run_pool(fn, items: List, max_workers: int = 8) -> Dict:
+    """Bounded thread pool over subprocess jobs (dwn_yt.py:43-87 analog)."""
+    results = {}
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futs = {ex.submit(fn, it): it for it in items}
+        for fut in as_completed(futs):
+            it = futs[fut]
+            try:
+                results[it] = fut.result()
+            except Exception as e:  # keep going; report at the end
+                results[it] = e
+    return results
+
+
+def main(argv=None):
+    """CLI mirroring prep_data/dwn_yt.py --task_type=dwn_vids|extract_frames."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="VidSitu data prep")
+    ap.add_argument("--task_type", required=True,
+                    choices=["dwn_vids", "extract_frames"])
+    ap.add_argument("--split_file", required=True)
+    ap.add_argument("--video_dir", default="./data/vsitu_video_trimmed_dir")
+    ap.add_argument("--frames_dir", default="./data/vsitu_frames")
+    ap.add_argument("--max_workers", type=int, default=8)
+    args = ap.parse_args(argv)
+
+    with open(args.split_file) as f:
+        segs = json.load(f)
+
+    if args.task_type == "dwn_vids":
+        res = run_pool(
+            lambda s: download_clip(s, args.video_dir), segs,
+            max_workers=args.max_workers,
+        )
+        ok = sum(1 for v in res.values() if isinstance(v, Path))
+        print(f"downloaded {ok}/{len(segs)}")
+    else:
+        def one(s):
+            return extract_frames(
+                Path(args.video_dir) / f"{s}.mp4", args.frames_dir, s
+            )
+
+        res = run_pool(one, segs, max_workers=args.max_workers)
+        ok = sum(1 for v in res.values() if isinstance(v, int) and v > 0)
+        print(f"extracted {ok}/{len(segs)}")
+
+
+if __name__ == "__main__":
+    main()
