@@ -115,6 +115,13 @@ def main_fn(cfg, uid: str):
 def main(argv=None):
     from vidsitu_tpu.utils.config import CfgProcessor
 
+    # Multi-host: set VIDSITU_DISTRIBUTED=1 (plus the standard JAX
+    # coordinator env) to join the jax.distributed cluster — the DCN
+    # rendezvous replacing the reference's tcp://localhost:9997 NCCL init
+    # (trn_dist_utils.py:5-42).
+    if os.environ.get("VIDSITU_DISTRIBUTED") == "1":
+        jax.distributed.initialize()
+
     uid, overrides = parse_cli(argv if argv is not None else sys.argv[1:])
     cp = CfgProcessor()
     cfg = cp.get_default_cfg()

@@ -111,3 +111,71 @@ def test_roberta_hidden_and_pooler_parity():
         ref.pooler_output.numpy(),
         atol=2e-4,
     )
+
+
+def test_converted_gpt2_into_srl_model(tmp_path):
+    """HF GPT-2 -> converted params -> new_gpt2_only SRL model generates."""
+    import torch as _torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    from vidsitu_tpu.data import build_comm, get_data
+    from vidsitu_tpu.data.synth import make_synth_dataset
+    from vidsitu_tpu.models.selector import (
+        build_model,
+        build_srl_generate_fn,
+        init_model_variables,
+    )
+    from vidsitu_tpu.train.pretrained import load_pretrained_variables
+    from vidsitu_tpu.utils.config import get_cfg_with_overrides
+
+    paths = make_synth_dataset(tmp_path / "d", n_train=8, n_valid=4, seed=95)
+    cfg = get_cfg_with_overrides(
+        "gpt2pre",
+        **{
+            **paths,
+            "task_type": "vb_arg",
+            "mdl.mdl_name": "new_gpt2_only",
+            "gpt2_mdl.d_model": 32,
+            "gpt2_mdl.n_layers": 1,
+            "gpt2_mdl.n_heads": 2,
+            "gpt2_mdl.max_pos": 128,
+            "train.bs": 8,
+            "train.bsv": 4,
+            "train.nw": 0,
+            "train.nwv": 0,
+            "train.dtype": "float32",
+        },
+    )
+    comm = build_comm(cfg)
+    base_vocab = len(comm.gpt2_hf_tok.bpe)
+
+    hf_cfg = GPT2Config(
+        vocab_size=base_vocab, n_positions=128, n_embd=32, n_layer=1,
+        n_head=2, resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    _torch.manual_seed(0)
+    hf = GPT2LMHeadModel(hf_cfg).eval()
+    ckpt_path = tmp_path / "gpt2_tiny.pt"
+    _torch.save(hf.state_dict(), ckpt_path)
+
+    cfg.defrost()
+    cfg.mdl.gpt2_mdl_path = str(ckpt_path)
+    data = get_data(cfg)
+    model = build_model(cfg, comm)
+    batch = next(iter(data.valid_dl))
+    variables = init_model_variables(model, batch)
+    variables = load_pretrained_variables(cfg, model, variables)
+    # token embedding resized to the augmented vocab
+    emb = variables["params"]["decoder"]["embed_tokens"]["embedding"]
+    assert emb.shape[0] == len(comm.gpt2_hf_tok)
+    np.testing.assert_array_equal(
+        np.asarray(emb)[:base_vocab],
+        hf.state_dict()["transformer.wte.weight"].numpy(),
+    )
+
+    gen_fn = build_srl_generate_fn(cfg, comm, model)
+    out = np.asarray(
+        gen_fn(variables, {k: jnp.asarray(v) for k, v in batch.items()})
+    )
+    assert out.shape[:3] == (4, 5, 1)
+    assert np.isfinite(out.astype(np.float64)).all()

@@ -115,3 +115,55 @@ def test_vocabulary_json_roundtrip(tmp_path):
     assert v2.symbols == v.symbols
     assert v2.indices == v.indices
     assert v2.pad_index == v.pad_index
+
+
+def test_from_hf_tokenizer_roundtrip(bpe, tmp_path):
+    """HF tokenizer object -> our tokenizer: identical ids."""
+    transformers = pytest.importorskip("transformers")
+    from vidsitu_tpu.tokenization.import_hf import from_hf_tokenizer
+
+    d = tmp_path / "hfvoc"
+    bpe.save_dir(d)
+    hf = transformers.GPT2Tokenizer(
+        vocab_file=str(d / "vocab.json"), merges_file=str(d / "merges.txt")
+    )
+    hf.add_special_tokens(
+        {"additional_special_tokens": ["<Arg0>", "<EV_SEP>"],
+         "pad_token": "<|pad|>"}
+    )
+    hf.add_tokens(["speak.01"])
+    ours = from_hf_tokenizer(hf)
+    for s in ["a man walks", "speak.01 <Arg0> a man", "<EV_SEP> dog"]:
+        assert ours(s)["input_ids"] == hf(s)["input_ids"], s
+    assert ours.pad_token_id == hf.pad_token_id
+    assert ours.get_added_vocab() == hf.get_added_vocab()
+
+
+def test_vocab_load_pickled_fairseq_like(tmp_path):
+    """Pickled Dictionary-like objects load without the source package."""
+    import pickle
+    import types, sys
+
+    # fabricate a module + class, pickle an instance, then remove the module
+    mod = types.ModuleType("fake_fairseq_dict")
+
+    class Dictionary:
+        pass
+
+    Dictionary.__module__ = "fake_fairseq_dict"
+    Dictionary.__qualname__ = "Dictionary"
+    mod.Dictionary = Dictionary
+    sys.modules["fake_fairseq_dict"] = mod
+    d = Dictionary()
+    d.symbols = ["<s>", "<pad>", "</s>", "<unk>", "speak.01"]
+    d.indices = {s: i for i, s in enumerate(d.symbols)}
+    d.pad_index, d.eos_index, d.unk_index, d.bos_index = 1, 2, 3, 0
+    p = tmp_path / "verb_id_vocab.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(d, f)
+    del sys.modules["fake_fairseq_dict"]
+
+    v = Vocabulary.load(p)
+    assert v.symbols[4] == "speak.01"
+    assert v.index("speak.01") == 4
+    assert v.pad() == 1 and v.unk() == 3

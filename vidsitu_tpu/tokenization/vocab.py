@@ -94,14 +94,27 @@ class Vocabulary:
     @classmethod
     def load(cls, fpath) -> "Vocabulary":
         """Load from json; also accepts a pickled fairseq Dictionary
-        (duck-typed) for drop-in use of reference vocab files."""
+        (duck-typed) for drop-in use of reference vocab files. The
+        unpickler substitutes a stub for any unimportable class, so the
+        reference pickles load without fairseq installed."""
         fpath = Path(fpath)
         if fpath.suffix == ".json":
             return cls.load_json(fpath)
         import pickle
 
+        class _Stub:
+            def __init__(self, *a, **k):
+                pass
+
+        class _TolerantUnpickler(pickle.Unpickler):
+            def find_class(self, module, name):
+                try:
+                    return super().find_class(module, name)
+                except (ImportError, AttributeError):
+                    return type(name, (_Stub,), {})
+
         with open(fpath, "rb") as f:
-            obj = pickle.load(f)
+            obj = _TolerantUnpickler(f).load()
         if isinstance(obj, cls):
             return obj
         v = cls.__new__(cls)
