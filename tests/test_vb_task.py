@@ -159,3 +159,24 @@ def test_extract_features_roundtrip(env, tmp_path):
     cfg2 = mk(env)
     cfg2.ds.vsitu.vsit_frm_feats_dir = str(out_dir)
     assert get_head_dim(cfg2) == 2304
+
+
+def test_on_device_preproc_equivalence(env):
+    """uint8 frames + on-device normalize == host-normalized float path."""
+    cfg_f = mk(env)
+    comm = build_comm(cfg_f)
+    data_f = get_data(cfg_f)
+    batch_f = next(iter(data_f.train_dl))
+    assert batch_f["frms_ev_fast_tensor"].dtype == np.float32
+
+    cfg_u = mk(env, **{"tpu.on_device_preproc": True})
+    data_u = get_data(cfg_u)
+    batch_u = next(iter(data_u.train_dl))
+    assert batch_u["frms_ev_fast_tensor"].dtype == np.uint8
+
+    model = build_model(cfg_f, comm)
+    variables = init_model_variables(model, batch_f)
+    fwd = jax.jit(lambda v, b: model.apply(v, b)["mdl_out"])
+    out_f = np.asarray(fwd(variables, {k: jnp.asarray(v) for k, v in batch_f.items()}))
+    out_u = np.asarray(fwd(variables, {k: jnp.asarray(v) for k, v in batch_u.items()}))
+    np.testing.assert_allclose(out_f, out_u, atol=1e-4)

@@ -324,6 +324,7 @@ class VsituDS:
             self.vid_cfg,
             max_frms=self.comm.max_frms,
             out_hw=self.vid_cfg.crop_size,
+            keep_uint8=bool(self.full_cfg.tpu.on_device_preproc),
         )
 
     def get_frm_feats_all(self, idx: int) -> Dict[str, np.ndarray]:

@@ -63,6 +63,7 @@ def load_event_clips(
     vid_cfg,
     max_frms: int = 300,
     out_hw: int = 224,
+    keep_uint8: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Read + normalize + pack the 5 event windows of one video segment.
 
@@ -89,13 +90,15 @@ def load_event_clips(
                 for ix in idxs
             ]
         )
-        frms = normalize_frames(frms, vid_cfg.mean, vid_cfg.std)
+        if not keep_uint8:
+            frms = normalize_frames(frms, vid_cfg.mean, vid_cfg.std)
         paths = pack_pathways(frms, vid_cfg)
         fast_lst.append(paths["fast"])
         if "slow" in paths:
             slow_lst.append(paths["slow"])
 
-    out = {"frms_ev_fast_tensor": np.stack(fast_lst).astype(np.float32)}
+    dt = np.uint8 if keep_uint8 else np.float32
+    out = {"frms_ev_fast_tensor": np.stack(fast_lst).astype(dt)}
     if slow_lst:
-        out["frms_ev_slow_tensor"] = np.stack(slow_lst).astype(np.float32)
+        out["frms_ev_slow_tensor"] = np.stack(slow_lst).astype(dt)
     return out

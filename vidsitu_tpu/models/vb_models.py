@@ -25,6 +25,16 @@ def _fold_events(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape((s[0] * s[1],) + s[2:])
 
 
+def _maybe_normalize(x: jnp.ndarray, vid_cfg: "VideoCfg", dtype) -> jnp.ndarray:
+    """On-device preprocessing: uint8 frames -> normalized compute dtype
+    (ships 4x fewer host->device bytes; north-star input pipeline)."""
+    if x.dtype == jnp.uint8:
+        mean = jnp.asarray(vid_cfg.mean, dtype)
+        std = jnp.asarray(vid_cfg.std, dtype)
+        return (x.astype(dtype) / 255.0 - mean) / std
+    return x.astype(dtype)
+
+
 class VbVideoModel(nn.Module):
     """Backbone + trimmed head (+ optional projection to verb vocab).
 
@@ -57,10 +67,16 @@ class VbVideoModel(nn.Module):
 
     def features(self, inp: Dict[str, jnp.ndarray], train: bool = False):
         """(B, 5, D) pooled clip features (forward_encoder + head)."""
-        fast = _fold_events(inp["frms_ev_fast_tensor"].astype(self.vid_cfg.dtype))
+        fast = _fold_events(
+            _maybe_normalize(
+                inp["frms_ev_fast_tensor"], self.vid_cfg, self.vid_cfg.dtype
+            )
+        )
         if self.vid_cfg.arch == "slowfast":
             slow = _fold_events(
-                inp["frms_ev_slow_tensor"].astype(self.vid_cfg.dtype)
+                _maybe_normalize(
+                    inp["frms_ev_slow_tensor"], self.vid_cfg, self.vid_cfg.dtype
+                )
             )
             slow_f, fast_f = self.backbone(slow, fast, train)
             pooled = trimmed_head([slow_f, fast_f])

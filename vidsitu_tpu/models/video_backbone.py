@@ -59,6 +59,8 @@ class VideoCfg:
     nl_instantiation: str = "softmax"
     zero_init_final_bn: bool = True
     remat: bool = False  # jax.checkpoint each bottleneck (memory saver)
+    mean: tuple = (0.45, 0.45, 0.45)
+    std: tuple = (0.225, 0.225, 0.225)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_momentum: float = 0.9
@@ -86,6 +88,8 @@ class VideoCfg:
             nl_instantiation=vid_mdl.nl.instantiation,
             zero_init_final_bn=vid_mdl.resnet.zero_init_final_bn,
             remat=remat,
+            mean=tuple(vid_mdl.mean),
+            std=tuple(vid_mdl.std),
             dtype=dtype,
             param_dtype=param_dtype,
         )
