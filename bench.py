@@ -102,11 +102,12 @@ def bench_srl_train(bs: int = 32, iters: int = 20) -> dict:
 
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
     params, opt_state, loss = step(params, opt_state, dev_batch)
-    jax.block_until_ready(loss)
+    float(loss)  # host fetch: the only reliable sync through the relay
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, loss = step(params, opt_state, dev_batch)
-    jax.block_until_ready(loss)
+    # the params/opt_state chain makes this final fetch wait for all steps
+    float(loss)
     dt = time.perf_counter() - t0
     return {
         "metric": "srl_train_throughput",
@@ -116,9 +117,48 @@ def bench_srl_train(bs: int = 32, iters: int = 20) -> dict:
     }
 
 
+def bench_srl_decode(bs: int = 16, iters: int = 5) -> dict:
+    """Greedy SRL decode latency (ms per 5-event video), BASELINE.md's
+    'beam decode latency reported alongside'."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _setup
+    from vidsitu_tpu.models.selector import build_srl_generate_fn
+    from vidsitu_tpu.data import build_comm
+
+    import numpy as np
+
+    cfg, model, variables, batch = _setup(bs=bs)
+    comm = build_comm(cfg)
+    gen_fn = build_srl_generate_fn(cfg, comm, model)
+    dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    # The tunneled runtime's block_until_ready does not reliably wait;
+    # force a host fetch per call and subtract the measured fetch RTT.
+    trivial = jax.jit(lambda: jnp.zeros((1,), jnp.int32))()
+    np.asarray(gen_fn(variables, dev_batch))  # compile
+    np.asarray(trivial)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(trivial)
+    rtt = (time.perf_counter() - t0) / iters
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        np.asarray(gen_fn(variables, dev_batch))
+    dt = (time.perf_counter() - t0) / iters - rtt
+    return {
+        "metric": "srl_greedy_decode_latency",
+        "value": round(dt / bs * 1000, 3),
+        "unit": "ms/video",
+        "vs_baseline": 0.0,
+    }
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "featext"
     if which == "srl":
         print(json.dumps(bench_srl_train()))
+    elif which == "decode":
+        print(json.dumps(bench_srl_decode()))
     else:
         print(json.dumps(bench_slowfast_featext()))

@@ -173,3 +173,45 @@ def test_fit_one_epoch_end_to_end(env):
     p0 = jax.tree.leaves(learner.variables["params"])[0]
     p1 = jax.tree.leaves(learner2.variables["params"])[0]
     np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
+
+
+@pytest.mark.parametrize("enc_type", ["old", "new", "new_conc"])
+def test_tx_enc_type_variants(env, enc_type):
+    cfg = mk(env, "sfpret_txe_txd_vbarg", **{"mdl.tx_enc_type": enc_type})
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    batch = next(iter(data.train_dl))
+    model = build_model(cfg, comm)
+    variables = init_model_variables(model, batch)
+    import jax.numpy as jnp
+
+    out = jax.jit(lambda v, b: model.apply(v, b))(
+        variables, {k: jnp.asarray(v) for k, v in batch.items()}
+    )
+    assert np.isfinite(float(out["loss"]))
+    if enc_type == "new_conc":
+        assert "txenc_conc" in variables["params"]
+
+
+def test_bf16_compute_dtype(env):
+    """bfloat16 model body: finite loss, finite generation."""
+    cfg = mk(env, "sfpret_txe_txd_vbarg", **{"train.dtype": "bfloat16"})
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    batch = next(iter(data.train_dl))
+    model = build_model(cfg, comm)
+    variables = init_model_variables(model, batch)
+    import jax.numpy as jnp
+
+    # params stay float32; compute in bf16
+    leaf = jax.tree.leaves(variables["params"])[0]
+    assert leaf.dtype == jnp.float32
+    out = jax.jit(lambda v, b: model.apply(v, b))(
+        variables, {k: jnp.asarray(v) for k, v in batch.items()}
+    )
+    assert np.isfinite(float(out["loss"]))
+    gen_fn = build_srl_generate_fn(cfg, comm, model)
+    sents = np.asarray(
+        gen_fn(variables, {k: jnp.asarray(v) for k, v in batch.items()})
+    )
+    assert sents.shape[1:3] == (5, 1)

@@ -86,3 +86,24 @@ def add_prev_tokens(src: np.ndarray, pad_token: int, bos_token: int) -> np.ndarr
     prev[..., 0] = bos_token
     prev[..., 1:] = src[..., :-1]
     return prev
+
+
+def truncate_batch(inp_dict, key: str, max_len: int, dim: int) -> None:
+    """In-place truncation along dim (reference: dat_utils.py:152-169)."""
+    sl = [slice(None)] * inp_dict[key].ndim
+    sl[dim] = slice(0, max_len)
+    inp_dict[key] = inp_dict[key][tuple(sl)]
+
+
+def coalesce_dicts(dct_list):
+    """Merge dicts, asserting equal values on key collisions
+    (reference: dat_utils.py:112-124)."""
+    import numpy as _np
+
+    out = {}
+    for dct in dct_list:
+        for k in dct:
+            if k in out:
+                assert _np.all(out[k] == dct[k])
+        out.update(dct)
+    return out

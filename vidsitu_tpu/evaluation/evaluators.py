@@ -112,18 +112,37 @@ class _BaseEvaluator:
         write_pickle(merged, fname0)
         return fname0
 
+    compute_loss = False  # EvalB_Acc computes eval loss (evl_vsitu.py:222)
+
+    def run_loss(self, variables, batch) -> float:
+        raise NotImplementedError
+
     def __call__(self, variables, dl, dl_name, pred_path, write_to_file=True):
         results: List[Dict] = []
+        losses: List[float] = []
+        nums: List[int] = []
         bsv = dl.batch_size
         for batch in dl:
+            n_real = next(iter(batch.values())).shape[0]
             padded = pad_batch_to(batch, bsv)
             out = self.run_model(
                 variables, {k: jnp.asarray(v) for k, v in padded.items()}
             )
             results += self.decode_batch(out, padded["vseg_idx"])
+            if self.compute_loss:
+                losses.append(
+                    self.run_loss(
+                        variables,
+                        {k: jnp.asarray(v) for k, v in padded.items()},
+                    )
+                )
+                nums.append(n_real)
         seen = set()
         uniq = [r for r in results
                 if r["ann_idx"] not in seen and not seen.add(r["ann_idx"])]
+        val_loss = (
+            float(np.average(losses, weights=nums)) if losses else 0.0
+        )
         fname0 = self._merge_ranks(pred_path, dl_name, uniq)
         if fname0 is None:  # non-zero rank: zeros like the reference
             return (
@@ -132,7 +151,7 @@ class _BaseEvaluator:
             )
         out_acc = self.score(str(fname0))
         val_acc = {k: float(out_acc[k]) for k in self.met_keys if k in out_acc}
-        return {"loss": 0.0}, val_acc
+        return {"loss": val_loss}, val_acc
 
 
 class EvalB(_BaseEvaluator):
@@ -185,6 +204,7 @@ class EvalB_Acc(_BaseEvaluator):
     """EvRel classification evaluator (evl_vsitu.py:217-261)."""
 
     met_keys = ["Macro_Top_1", "Top_1"]
+    compute_loss = True
 
     def __init__(self, cfg, comm, model, split_type: str = "valid",
                  rank: int = 0, world_size: int = 1):
@@ -193,6 +213,10 @@ class EvalB_Acc(_BaseEvaluator):
         super().__init__(cfg, comm, split_type, rank, world_size)
         self.evl_met = EvlFn_EvRel(cfg, comm, self.met_keys)
         self.forward = jax.jit(lambda v, b: model.apply(v, b)["mdl_out"])
+        self._loss_fwd = jax.jit(lambda v, b: model.apply(v, b)["loss"])
+
+    def run_loss(self, variables, batch) -> float:
+        return float(self._loss_fwd(variables, batch))
 
     def run_model(self, variables, batch):
         return np.asarray(self.forward(variables, batch))

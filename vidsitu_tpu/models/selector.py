@@ -70,7 +70,7 @@ def build_model(cfg, comm):
         )
         return SRLModel(
             mdl_name=mdl_name, dec_cfg=dec_cfg, enc_cfg=enc_cfg,
-            feat_dim=feat_dim,
+            feat_dim=feat_dim, tx_enc_type=cfg.mdl.tx_enc_type,
         )
     if task == "vb":
         from .vb_models import build_vb_model

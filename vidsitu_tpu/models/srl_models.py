@@ -60,12 +60,19 @@ def masked_cross_entropy(
 
 
 class SRLModel(nn.Module):
-    """One module covering the four SRL variants (selected by mdl_name)."""
+    """One module covering the SRL variants (selected by mdl_name).
+
+    ``tx_enc_type`` mirrors cfg.mdl.tx_enc_type (mdl_sf_base.py:423-432):
+    'old' adds sinusoidal positions (fairseq TxEncoderOld), 'new' encodes
+    raw embeddings (TxEncoderNew, pe=False), 'new_conc' concatenates
+    input and encoder output through an MLP (TxEncoderNew_Conc).
+    """
 
     mdl_name: str
     dec_cfg: TxConfig
     enc_cfg: Optional[TxConfig] = None
     feat_dim: int = 2048
+    tx_enc_type: str = "new"
 
     @property
     def has_cross(self) -> bool:
@@ -87,6 +94,11 @@ class SRLModel(nn.Module):
             self.vid_feat_txenc = TransformerEncoder(
                 self.enc_cfg, name="vid_feat_txenc"
             )
+            if self.tx_enc_type == "new_conc":
+                self.txenc_conc = MLP(
+                    [d, d], dtype=self.dec_cfg.dtype,
+                    param_dtype=self.dec_cfg.param_dtype, name="txenc_conc",
+                )
         if self.mdl_name == "txed_only":
             assert self.enc_cfg is not None
             self.encoder = TransformerEncoder(self.enc_cfg, name="encoder")
@@ -120,9 +132,11 @@ class SRLModel(nn.Module):
         # back to per-event memories (mdl_sf_base.py:806-832)
         ctx = self.vid_feat_txenc(
             token_embeddings=out,
-            add_positions=False,
+            add_positions=(self.tx_enc_type == "old"),
             deterministic=deterministic,
         )  # (B, 5, D)
+        if self.tx_enc_type == "new_conc":
+            ctx = self.txenc_conc(jnp.concatenate([out, ctx], axis=-1))
         return ctx.reshape(b * 5, 1, -1), None
 
     # -- training forward --------------------------------------------------
