@@ -82,9 +82,11 @@ def test_vidsitu_gpt2_tokenizer(bpe, tmp_path):
     s = "walk.01 <Arg0> the man <Arg1> a dog"
     assert tok2(s)["input_ids"] == tok(s)["input_ids"]
     assert tok2.pad_token_id == tok.pad_token_id
-    assert tok2.decode(tok2(s)["input_ids"], skip_special_tokens=True) == (
-        "walk.01  the man  a dog"
-    )
+    # arg separators SURVIVE special-token stripping (the SRL parser
+    # splits the decoded string on them, evl_vsitu.py:174-206); only
+    # pad/eos are dropped
+    ids = tok2(s)["input_ids"] + [tok2.eos_token_id, tok2.pad_token_id]
+    assert tok2.decode(ids, skip_special_tokens=True) == s
 
 
 def test_roberta_flavor(bpe):

@@ -291,7 +291,10 @@ def build_vidsitu_gpt2_tokenizer(
     for ag in arg_names:
         seps.append(f"<{ag}>")
         seps.append(f"</{ag}>")
-    tok.add_special_tokens({"additional_special_tokens": seps})
+    # arg separators are PLAIN added tokens: they must survive
+    # decode(skip_special_tokens=True) so the SRL parser can split on
+    # them (evl_vsitu.py:174-206 decodes then parses '<ArgX>').
+    tok.add_tokens(seps)
     tok.add_tokens(list(verb_ids))
     tok.add_special_tokens({"pad_token": "<|pad|>"})
     return tok
