@@ -154,11 +154,91 @@ def bench_srl_decode(bs: int = 16, iters: int = 5) -> dict:
     }
 
 
+def bench_vb_train(b: int = 4, iters: int = 4) -> dict:
+    """SlowFast-R50 8x8 verb-model TRAINING throughput (fwd+bwd+Adam+BN),
+    videos/sec/chip at the real geometry, steps chained via lax.scan."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vidsitu_tpu.models.vb_models import VbVideoModel
+    from vidsitu_tpu.models.video_backbone import VideoCfg
+    from vidsitu_tpu.utils.config import get_cfg_with_overrides
+
+    cfg = get_cfg_with_overrides(
+        "bench",
+        **{"mdl.sf_mdl_name": "slow_fast_nl_r50_8x8",
+           "train.dtype": "bfloat16"},
+    )
+    vid_cfg = VideoCfg.from_cfg(
+        cfg.vid_mdl, dtype=jnp.bfloat16, param_dtype=jnp.float32
+    )
+    model = VbVideoModel(vid_cfg=vid_cfg, num_classes=2154)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "frms_ev_fast_tensor": jax.random.normal(
+            rng, (b, 5, 32, 224, 224, 3), jnp.bfloat16
+        ),
+        "frms_ev_slow_tensor": jax.random.normal(
+            rng, (b, 5, 8, 224, 224, 3), jnp.bfloat16
+        ),
+        "label_tensor": jnp.zeros((b, 5), jnp.int32),
+    }
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), batch)
+    opt = optax.adam(1e-4, b1=0.9, b2=0.99)
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    opt_state = opt.init(params)
+
+    @functools.partial(jax.jit, static_argnums=4)
+    def run(params, stats, opt_state, x, n):
+        def step(carry, _):
+            params, stats, opt_state = carry
+
+            def loss_fn(p):
+                out, new = model.apply(
+                    {"params": p, "batch_stats": stats}, x,
+                    deterministic=False, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(0)},
+                )
+                return out["loss"], new["batch_stats"]
+
+            (l, new_stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
+            )
+            upd, opt_state = opt.update(g, opt_state, params)
+            return (optax.apply_updates(params, upd), new_stats, opt_state), l
+
+        (_, _, _), ls = jax.lax.scan(
+            step, (params, stats, opt_state), None, length=n
+        )
+        return ls[-1]
+
+    float(run(params, stats, opt_state, batch, 1))
+    float(run(params, stats, opt_state, batch, 1 + iters))
+    t0 = time.perf_counter()
+    float(run(params, stats, opt_state, batch, 1))
+    t1 = time.perf_counter()
+    float(run(params, stats, opt_state, batch, 1 + iters))
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / iters
+    return {
+        "metric": "slowfast_vb_train_throughput",
+        "value": round(b / dt, 2),
+        "unit": "videos/sec/chip",
+        "vs_baseline": 0.0,
+    }
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "featext"
     if which == "srl":
         print(json.dumps(bench_srl_train()))
     elif which == "decode":
         print(json.dumps(bench_srl_decode()))
+    elif which == "vbtrain":
+        print(json.dumps(bench_vb_train()))
     else:
         print(json.dumps(bench_slowfast_featext()))

@@ -344,6 +344,8 @@ class Learner:
 
     # -- checkpointing (trn_utils.py:631-749) ---------------------------------------
     def save_model_dict(self, path: Optional[Path] = None):
+        if jax.process_index() != 0:  # rank-0-only side effect
+            return
         path = Path(path) if path else self.model_file
         payload = {
             "model_state_dict": serialization.to_bytes(self.variables["params"]),
