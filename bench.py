@@ -154,7 +154,7 @@ def bench_srl_decode(bs: int = 16, iters: int = 5) -> dict:
     }
 
 
-def bench_vb_train(b: int = 4, iters: int = 4) -> dict:
+def bench_vb_train(b: int = 8, iters: int = 4) -> dict:
     """SlowFast-R50 8x8 verb-model TRAINING throughput (fwd+bwd+Adam+BN),
     videos/sec/chip at the real geometry, steps chained via lax.scan."""
     import functools

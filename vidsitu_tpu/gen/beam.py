@@ -24,7 +24,6 @@ may differ from fairseq's 2*beam candidate scheme.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Optional, Tuple
 
 import jax

@@ -8,9 +8,8 @@ masking (the XLA analog of packed sequences).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -19,9 +19,8 @@ Batch geometry: the (B, 5 events) axis is folded into the batch
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 import optax
 from flax import linen as nn

@@ -3,7 +3,7 @@ the feature-extraction model (vidsitu_code/feat_extractor.py:77-112)."""
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import jax.numpy as jnp
 from flax import linen as nn

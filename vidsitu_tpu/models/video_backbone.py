@@ -22,8 +22,8 @@ head concat 2304 (SURVEY.md §2.5).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

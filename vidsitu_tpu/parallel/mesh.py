@@ -10,7 +10,7 @@ ICI intra-slice / DCN across hosts.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

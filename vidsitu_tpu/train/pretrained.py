@@ -13,7 +13,6 @@ from pathlib import Path
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 
 
 def load_pretrained_variables(cfg, model, variables: Dict[str, Any], logger=None):
