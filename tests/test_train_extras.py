@@ -204,3 +204,32 @@ def test_freeze_backbone_mask(tmp_path):
     h1 = np.asarray(jax.tree.leaves(learner.variables["params"]["proj_head"])[0])
     np.testing.assert_array_equal(b0, b1)  # frozen
     assert not np.allclose(h0, h1)  # trained
+
+
+def test_multirank_prediction_merge(env, tmp_path):
+    """Simulate 2 ranks: rank-1 writes its pkl, rank-0 merges both."""
+    import pickle
+
+    from vidsitu_tpu.evaluation.evaluators import _BaseEvaluator
+
+    cfg = mk(env, "mergetest")
+
+    class Dummy(_BaseEvaluator):
+        met_keys = ["m"]
+
+        def __init__(self, rank, world):
+            super().__init__(cfg, None, rank=rank, world_size=world)
+
+        def score(self, fname):
+            preds = pickle.load(open(fname, "rb"))
+            return {"m": float(len(preds))}
+
+    pred_dir = tmp_path / "preds"
+    pred_dir.mkdir()
+    r1 = Dummy(rank=1, world=2)
+    out1 = r1._merge_ranks(pred_dir, "valid", [{"ann_idx": 2, "x": 1}])
+    assert out1 is None  # non-zero rank does not merge
+    r0 = Dummy(rank=0, world=2)
+    f0 = r0._merge_ranks(pred_dir, "valid", [{"ann_idx": 0}, {"ann_idx": 1}])
+    merged = pickle.load(open(f0, "rb"))
+    assert sorted(p["ann_idx"] for p in merged) == [0, 1, 2]

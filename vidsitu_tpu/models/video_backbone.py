@@ -284,9 +284,12 @@ def _nl_for(cfg: VideoCfg, stage: int, pathway: int) -> Tuple[int, ...]:
 
 class SlowFastBackbone(nn.Module):
     """Dual-pathway backbone. forward_features mirrors
-    SlowFast_FeatModel.forward_features (mdl_sf_base.py:21-34)."""
+    SlowFast_FeatModel.forward_features (mdl_sf_base.py:21-34).
+
+    ``num_stages`` truncates the residual stages (profiling aid)."""
 
     cfg: VideoCfg
+    num_stages: int = 4
 
     @nn.compact
     def __call__(self, slow, fast, train: bool = False):
@@ -302,7 +305,7 @@ class SlowFastBackbone(nn.Module):
 
         outs_s = [256, 512, 1024, 2048]
         inner_s = [64, 128, 256, 512]
-        for i in range(4):
+        for i in range(self.num_stages):
             slow = ResStage(
                 c.depth_blocks[i], outs_s[i], inner_s[i], tk_s[i + 1],
                 c.spatial_strides[i], _nl_for(c, i, 0), c,
