@@ -61,15 +61,16 @@ def bench_slowfast_featext(clips: int = 120, iters: int = 10) -> dict:
         return jax.lax.fori_loop(0, n, body, jnp.bfloat16(0))
 
     n_clips = b * 5
-    # warmup/compile both loop lengths
-    float(run(variables, batch, 1))
-    float(run(variables, batch, 1 + iters))
+    float(run(variables, batch, iters))  # compile once
+    # measure the host-fetch round trip to subtract it (one tiny compile)
+    trivial = jax.jit(lambda: jnp.zeros((), jnp.bfloat16))
+    float(trivial())
     t0 = time.perf_counter()
-    float(run(variables, batch, 1))
-    t1 = time.perf_counter()
-    float(run(variables, batch, 1 + iters))
-    t2 = time.perf_counter()
-    dt = (t2 - t1) - (t1 - t0)  # subtract single-iter + RTT overhead
+    float(trivial())
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(variables, batch, iters))
+    dt = (time.perf_counter() - t0) - rtt
     cps = n_clips * iters / dt
     return {
         "metric": "slowfast_r50_8x8_featext",
@@ -216,14 +217,15 @@ def bench_vb_train(b: int = 8, iters: int = 4) -> dict:
         )
         return ls[-1]
 
-    float(run(params, stats, opt_state, batch, 1))
-    float(run(params, stats, opt_state, batch, 1 + iters))
+    float(run(params, stats, opt_state, batch, iters))  # compile once
+    trivial = jax.jit(lambda: jnp.zeros((), jnp.bfloat16))
+    float(trivial())
     t0 = time.perf_counter()
-    float(run(params, stats, opt_state, batch, 1))
-    t1 = time.perf_counter()
-    float(run(params, stats, opt_state, batch, 1 + iters))
-    t2 = time.perf_counter()
-    dt = ((t2 - t1) - (t1 - t0)) / iters
+    float(trivial())
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(params, stats, opt_state, batch, iters))
+    dt = ((time.perf_counter() - t0) - rtt) / iters
     return {
         "metric": "slowfast_vb_train_throughput",
         "value": round(b / dt, 2),
