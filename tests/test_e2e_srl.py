@@ -19,6 +19,8 @@ from vidsitu_tpu.models.selector import (
 from vidsitu_tpu.train.learner import Learner
 from vidsitu_tpu.utils.config import get_cfg_with_overrides
 
+pytestmark = pytest.mark.slow
+
 TINY_TX = {
     "gpt2_mdl.d_model": 64,
     "gpt2_mdl.n_layers": 2,

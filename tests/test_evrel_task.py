@@ -12,6 +12,8 @@ from vidsitu_tpu.models.selector import build_model, init_model_variables
 from vidsitu_tpu.train.learner import Learner
 from vidsitu_tpu.utils.config import get_cfg_with_overrides
 
+pytestmark = pytest.mark.slow
+
 TINY_ROB = {
     "rob_mdl.d_model": 64,
     "rob_mdl.n_layers": 2,

@@ -17,6 +17,8 @@ from vidsitu_tpu.models.selector import build_model, init_model_variables
 from vidsitu_tpu.utils.config import get_cfg_with_overrides
 
 
+pytestmark = pytest.mark.slow
+
 def _flatten(tree, prefix=()):
     out = {}
     for k, v in tree.items():

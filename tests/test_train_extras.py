@@ -19,6 +19,8 @@ from vidsitu_tpu.models.selector import (
 from vidsitu_tpu.train.learner import Learner
 from vidsitu_tpu.utils.config import get_cfg_with_overrides
 
+pytestmark = pytest.mark.slow
+
 TINY = {
     "tx_dec.decoder_embed_dim": 32,
     "tx_dec.decoder_ffn_embed_dim": 64,

@@ -13,6 +13,8 @@ from vidsitu_tpu.models.video_backbone import VideoCfg
 from vidsitu_tpu.train.learner import Learner
 from vidsitu_tpu.utils.config import get_cfg_with_overrides
 
+pytestmark = pytest.mark.slow
+
 TINY_VID = {
     "vid_mdl.resnet.depth": 26,
     "vid_mdl.crop_size": 32,
