@@ -178,3 +178,45 @@ def test_beam_with_real_decoder_matches_stepwise_greedy():
         n = (stop[0] + 1) if len(stop) else MAXLEN
         np.testing.assert_array_equal(got[b, :n], row[:n])
         assert (got[b, n:] == PAD).all()
+
+
+def test_len_penalty_prefers_longer():
+    """With a model that offers a short low-score stop vs a longer
+    higher-average continuation, len_penalty>0 normalization favors the
+    longer hypothesis."""
+    tbl = np.full((V, V), -10.0, np.float32)
+    # short path: bos -> 5 -> eos with mediocre score
+    tbl[2, 5] = 2.0
+    tbl[5, EOS] = 0.5
+    # long path: 5 -> 6 -> 7 -> 8 -> eos, strong steps
+    tbl[5, 6] = 2.0
+    tbl[6, 7] = 2.5
+    tbl[7, 8] = 2.5
+    tbl[8, EOS] = 2.5
+    seqs_n, scores_n, _ = jax.jit(
+        lambda: beam_search(
+            toy_step_fn(tbl), {}, 1, MAXLEN, BOS, EOS, PAD, V,
+            GenConfig(beam_size=2, len_penalty=1.0, normalize_scores=True),
+        )
+    )()
+    out = np.asarray(seqs_n)[0, 0].tolist()
+    # the longer hypothesis should win under per-token normalization
+    assert len([t for t in out if t != PAD]) > 2
+
+
+def test_normalize_scores_off_uses_raw_sum():
+    tbl = np.full((V, V), -10.0, np.float32)
+    tbl[2, 5] = 2.0
+    tbl[5, EOS] = 0.5
+    tbl[5, 6] = 2.0
+    tbl[6, 7] = 2.5
+    tbl[7, EOS] = 2.5
+    _, scores, lens = jax.jit(
+        lambda: beam_search(
+            toy_step_fn(tbl), {}, 1, MAXLEN, BOS, EOS, PAD, V,
+            GenConfig(beam_size=2, normalize_scores=False),
+        )
+    )()
+    sc = np.asarray(scores)[0]
+    assert (sc[0] >= sc[1]).all() if sc.ndim else sc[0] >= sc[1]
+    assert np.isfinite(sc[0])

@@ -233,8 +233,12 @@ def beam_search(
         is_eos = tok_idx == eos_id
 
         # ---- finished update ------------------------------------------------
+        # fairseq finalizes eos hypotheses only when they rank within the
+        # top beam_size of the 2*beam candidates (seq_gen.py eos_mask
+        # [:, :beam_size]); lower-ranked junk eos must not fill the quota.
+        rank_ok = jnp.arange(2 * k)[None, :] < k
         eos_norm = norm(top_scores, t + 1)
-        eos_scores = jnp.where(is_eos, eos_norm, NEG_INF)
+        eos_scores = jnp.where(is_eos & rank_ok, eos_norm, NEG_INF)
         all_fin_scores = jnp.concatenate([fin_scores_, eos_scores], axis=1)
         all_fin_seq = jnp.concatenate(
             [fin_seq_, grown], axis=1
