@@ -90,3 +90,27 @@ def test_srl_beam2_generation(tmp_path):
     np.testing.assert_array_equal(
         out[:, :, 0, 0], batch["seq_out_by_ev"][:, :, 0, 0]
     )
+
+
+def test_prep_parse_and_pool():
+    from vidsitu_tpu.prep import MissingToolError, parse_seg_name, run_pool
+
+    ytid, st, en = parse_seg_name("v_abc-123_xy_seg_25_35")
+    assert ytid == "abc-123_xy" and st == 25.0 and en == 35.0
+
+    res = run_pool(lambda x: x * 2, [1, 2, 3], max_workers=2)
+    assert res == {1: 2, 2: 4, 3: 6}
+    # exceptions are captured per-item, not raised
+    res2 = run_pool(lambda x: 1 // x, [0, 1], max_workers=2)
+    assert isinstance(res2[0], ZeroDivisionError) and res2[1] == 1
+
+    # missing binaries produce the gated error
+    import shutil
+
+    if shutil.which("ffmpeg") is None:
+        import pytest as _pytest
+
+        from vidsitu_tpu.prep import extract_frames
+
+        with _pytest.raises(MissingToolError, match="ffmpeg"):
+            extract_frames("x.mp4", "/tmp/fr", "v_a_seg_0_10")
