@@ -235,3 +235,55 @@ def test_multirank_prediction_merge(env, tmp_path):
     f0 = r0._merge_ranks(pred_dir, "valid", [{"ann_idx": 0}, {"ann_idx": 1}])
     merged = pickle.load(open(f0, "rb"))
     assert sorted(p["ann_idx"] for p in merged) == [0, 1, 2]
+
+
+def test_resume_restores_optimizer_state(env):
+    """2 epochs straight == 1 epoch + kill + resume(load_opt=True) + 1 epoch.
+
+    Verifies the reference contract (trn_utils.py:676-706): resume restores
+    optimizer moments, counters, and RNG so training continues bit-exact.
+    """
+    cfgA = mk(env, "resA", **{"train.use_reduce_lr_plateau": False})
+    la = _make_learner(cfgA)
+    la.fit(epochs=2, lr=1e-3)
+
+    cfgB = mk(env, "resB", **{"train.use_reduce_lr_plateau": False})
+    lb = _make_learner(cfgB)
+    lb.fit(epochs=1, lr=1e-3)
+
+    cfgB2 = mk(
+        env, "resB",
+        **{
+            "train.use_reduce_lr_plateau": False,
+            "train.resume": True,
+            "train.load_opt": True,
+        },
+    )
+    lb2 = _make_learner(cfgB2)
+    assert lb2.num_epoch == 1 and lb2._pending_opt_bytes is not None
+    lb2.fit(epochs=1, lr=1e-3)
+
+    pa = jax.tree.leaves(la.variables["params"])
+    pb = jax.tree.leaves(lb2.variables["params"])
+    for x, y in zip(pa, pb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # Adam moments + step count
+    oa = jax.tree.leaves(la.opt_state)
+    ob = jax.tree.leaves(lb2.opt_state)
+    assert len(oa) == len(ob)
+    for x, y in zip(oa, ob):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_resume_without_load_opt_keeps_fresh_optimizer(env):
+    cfg1 = mk(env, "resC", **{"train.use_reduce_lr_plateau": False})
+    l1 = _make_learner(cfg1)
+    l1.fit(epochs=1, lr=1e-3)
+    cfg2 = mk(env, "resC", **{"train.resume": True, "train.load_opt": False})
+    l2 = _make_learner(cfg2)
+    assert l2._pending_opt_bytes is None
+    l2.prepare_optimizer(1e-3)
+    # fresh Adam: count == 0
+    flat = jax.tree.leaves(l2.opt_state)
+    assert any(np.asarray(x).size == 1 and int(np.asarray(x)) == 0
+               for x in flat)

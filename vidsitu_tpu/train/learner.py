@@ -80,6 +80,9 @@ class Learner:
         self.best_met = None
         self.opt_state = None
         self.optimizer = None
+        self.plateau_wait = 0
+        self._pending_opt_bytes = None
+        self._pending_lr = None
         self.rng = jax.random.PRNGKey(cfg.train.seed)
         from .pretrained import make_freeze_mask
 
@@ -144,6 +147,25 @@ class Learner:
         self._grad_accum = accum
         self._lr = lr
         self.opt_state = self.optimizer.init(self.variables["params"])
+        if self._pending_opt_bytes is not None:
+            # consume optimizer state stashed by load_model_dict(load_opt=True)
+            # — the reference restores optimizer+scheduler on resume
+            # (trn_utils.py:676-706)
+            self.opt_state = serialization.from_bytes(
+                self.opt_state, self._pending_opt_bytes
+            )
+            self._pending_opt_bytes = None
+            restored_lr = self._pending_lr
+            if restored_lr is None:
+                hp = (
+                    self.opt_state.inner_opt_state.hyperparams
+                    if accum > 1
+                    else self.opt_state.hyperparams
+                )
+                restored_lr = float(hp["learning_rate"])
+            self._set_lr(restored_lr)
+            self._pending_lr = None
+            self.logger.info("restored optimizer state (lr=%.2e)", self._lr)
 
     def _set_lr(self, lr: float):
         self._lr = lr
@@ -272,7 +294,7 @@ class Learner:
         st_time = time.time()
         tracker = Tracker(self.cfg, self.uid)
         tracker.log_params(_CP.cfg_to_flat_dct(self.cfg))
-        plateau_wait = 0
+        last_met = None
         try:
             for _ep in range(epochs):
                 ep_start = time.time()
@@ -280,16 +302,17 @@ class Learner:
                 val_loss, val_acc, _ = self.validate()
                 self.num_epoch += 1
                 met0 = float(val_acc[met_keys[0]])
+                last_met = met0
                 improved = self.best_met is None or met0 >= self.best_met
                 if improved:
                     self.best_met = met0
                     self.save_model_dict()
-                    plateau_wait = 0
+                    self.plateau_wait = 0
                 elif self.cfg.train.use_reduce_lr_plateau:
-                    plateau_wait += 1
-                    if plateau_wait >= self.cfg.train.plateau_patience:
+                    self.plateau_wait += 1
+                    if self.plateau_wait >= self.cfg.train.plateau_patience:
                         self._set_lr(self._lr * self.cfg.train.plateau_factor)
-                        plateau_wait = 0
+                        self.plateau_wait = 0
                         self.logger.info("plateau: lr -> %.2e", self._lr)
                 tracker.log_metrics(
                     {
@@ -316,9 +339,16 @@ class Learner:
                     "epoch %d done in %.1fs: %s",
                     self.num_epoch, time.time() - ep_start, row,
                 )
-        except Exception as e:  # reference logs + keeps best model
+        except Exception as e:
+            # reference logs, then saves the final model if its last metric
+            # beats the stored best (trn_utils.py:851-867)
             self.update_log_file(f"exited due to exception {e!r}")
             self.update_log_file(f"elapsed {time.time() - st_time:.1f}s")
+            if last_met is not None and (
+                self.best_met is None or last_met > self.best_met
+            ):
+                self.best_met = last_met
+                self.save_model_dict()
             tracker.end_run()
             raise
         self.update_log_file(f"epochs done. elapsed {time.time() - st_time:.1f}s")
@@ -361,6 +391,15 @@ class Learner:
             "num_epoch": self.num_epoch,
             "cfgtxt": json.dumps(self.cfg.to_dict()),
             "best_met": self.best_met,
+            # plateau-scheduler state (ref scheduler_state_dict,
+            # trn_utils.py:712-716)
+            "scheduler_state_dict": {
+                "plateau_wait": self.plateau_wait,
+                "lr": getattr(self, "_lr", None),
+            },
+            # rng for bit-exact dropout resume (over-delivery: the torch
+            # reference does not persist RNG)
+            "rng": np.asarray(self.rng).tolist(),
         }
         import pickle
 
@@ -388,14 +427,23 @@ class Learner:
         self.num_it = payload.get("num_it", 0)
         self.num_epoch = payload.get("num_epoch", 0)
         self.best_met = payload.get("best_met", None)
+        if payload.get("rng") is not None:
+            self.rng = jnp.asarray(payload["rng"], dtype=jnp.uint32)
         if load_opt and payload.get("optimizer_state_dict"):
+            sched = payload.get("scheduler_state_dict") or {}
+            self.plateau_wait = int(sched.get("plateau_wait", 0))
             if self.opt_state is None and self.optimizer is None:
-                # optimizer created at fit() time; stash for later
+                # optimizer is created at fit() time; prepare_optimizer
+                # consumes this stash (ref restores in load_model_dict,
+                # trn_utils.py:703-706)
                 self._pending_opt_bytes = payload["optimizer_state_dict"]
+                self._pending_lr = sched.get("lr")
             else:
                 self.opt_state = serialization.from_bytes(
                     self.opt_state, payload["optimizer_state_dict"]
                 )
+                if sched.get("lr") is not None:
+                    self._set_lr(float(sched["lr"]))
         self.logger.info(
             "resumed from %s at epoch %d it %d", p, self.num_epoch, self.num_it
         )
