@@ -211,3 +211,40 @@ def test_get_data_end_to_end(synth_cfg):
     # global batch must divide across shards
     with pytest.raises(AssertionError):
         get_data(cfg, num_shards=3, shard_id=0)
+
+
+def test_uint8_device_preproc_matches_host_path():
+    """Host float preproc (normalize -> reverse) and uint8 on-device preproc
+    (reverse host-side -> normalize on device) must produce identical
+    tensors, including when reverse_input_channel is set
+    (ref order: dat_loader.py:478-484 + video_utils.py:52)."""
+    import jax.numpy as jnp
+    from types import SimpleNamespace
+
+    from vidsitu_tpu.data.frames import normalize_frames, pack_pathways
+    from vidsitu_tpu.models.vb_models import _maybe_normalize
+    from vidsitu_tpu.models.video_backbone import VideoCfg
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, size=(8, 6, 6, 3), dtype=np.uint8)
+    mean, std = (0.45, 0.41, 0.38), (0.225, 0.24, 0.26)
+
+    for rev in (False, True):
+        host_cfg = SimpleNamespace(
+            reverse_input_channel=rev, arch="slowfast",
+            slowfast=SimpleNamespace(alpha=4),
+        )
+        # host float path: normalize THEN reverse (reference order)
+        host = pack_pathways(normalize_frames(frames, mean, std), host_cfg)
+        # uint8 device path: reverse host-side, normalize on device
+        dev_in = pack_pathways(frames, host_cfg)
+        vcfg = VideoCfg(mean=mean, std=std, reverse_input_channel=rev)
+        for k in ("fast", "slow"):
+            dev = _maybe_normalize(
+                jnp.asarray(np.ascontiguousarray(dev_in[k])), vcfg,
+                jnp.float32,
+            )
+            np.testing.assert_allclose(
+                np.asarray(dev), host[k].astype(np.float32),
+                rtol=1e-6, atol=1e-6,
+            )

@@ -32,11 +32,17 @@ TOKEN_ONLY_MDLS = {
 
 
 class VsituDS:
-    def __init__(self, cfg: CfgNode, comm, split_type: str):
+    def __init__(
+        self, cfg: CfgNode, comm, split_type: str, task_type: str = ""
+    ):
+        """``task_type`` overrides ``cfg.task_type`` — used by the feature
+        extractor to build a frames-only ("vb") view over any split
+        regardless of the configured task (ref VsituDS_All,
+        feat_extractor.py:20-74)."""
         self.full_cfg = cfg
         self.cfg = cfg.ds.vsitu
         self.vid_cfg = cfg.vid_mdl
-        self.task_type = cfg.task_type
+        self.task_type = task_type or cfg.task_type
         self.split_type = split_type
 
         self.comm = comm if comm else build_comm(cfg)

@@ -24,14 +24,7 @@ class FramesOnlyDS:
     """All-splits frames dataset (VsituDS_All, feat_extractor.py:20-74)."""
 
     def __init__(self, cfg, comm, split_type: str):
-        base = VsituDS.__new__(VsituDS)
-        base.full_cfg = cfg
-        base.cfg = cfg.ds.vsitu
-        base.vid_cfg = cfg.vid_mdl
-        base.task_type = "vb"
-        base.split_type = split_type
-        base.comm = comm
-        base.read_files(split_type)
+        base = VsituDS(cfg, comm, split_type, task_type="vb")
         self.base = base
         self.vseg_lst = base.vseg_lst
         self.debug = cfg.debug_mode

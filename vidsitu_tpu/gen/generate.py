@@ -11,7 +11,7 @@ import jax.numpy as jnp
 from ..models.srl_models import SRLModel
 from .beam import GenConfig, beam_search, tile_for_beams
 
-SRL_DECODE_LEN = 60  # per-event role sequences are trained at 60 tokens
+SRL_DECODE_LEN = 60  # fallback when cfg.gen.max_len_b is unset (<=0)
 
 
 def make_srl_generator(
@@ -22,14 +22,24 @@ def make_srl_generator(
     bos_id: int,
     eos_id: int,
     unk_id=None,
-    max_len: int = SRL_DECODE_LEN,
+    max_len: int = 0,
+    max_positions: int = 1024,
 ) -> Callable[[Any, Dict[str, jnp.ndarray]], jnp.ndarray]:
     """Build a jitted generate(variables, inp) -> (B, 5, 1, max_len).
 
     Decoding is verb-forced: the first generated token is the event's
     verb id, as in the reference (prefix_tokens, mdl_sf_base.py:660-663).
+
+    Decode length honors ``cfg.gen.max_len_b`` (ref default 200,
+    configs/vsitu_cfg.yml:80) capped at the decoder's position table, the
+    same bound fairseq applies (seq_gen.py:233-239). Note the latency
+    contract: the loop is fixed-shape under XLA, so cost scales with
+    max_len_b even when every beam hits EOS early (training geometry is
+    60 tokens/event; set gen.max_len_b=60 for ~3.3x faster eval decode).
     """
-    max_len = min(max_len, gen_cfg.max_len_b) if gen_cfg.max_len_b > 0 else max_len
+    if max_len <= 0:
+        max_len = gen_cfg.max_len_b if gen_cfg.max_len_b > 0 else SRL_DECODE_LEN
+    max_len = min(max_len, max_positions - 1)
     k = gen_cfg.beam_size
 
     @jax.jit

@@ -92,6 +92,12 @@ def init_model_variables(model, sample_batch: Dict[str, Any], seed: int = 0):
 def build_srl_generate_fn(cfg, comm, model):
     tok = comm.gpt2_hf_tok
     gen_cfg = GenConfig.from_cfg(cfg.gen)
+    # decoder position capacity caps decode length (fairseq
+    # max_decoder_positions(), seq_gen.py:233-239)
+    if "gpt2" in cfg.mdl.mdl_name:
+        max_positions = 1024  # GPT-2 n_positions
+    else:
+        max_positions = int(cfg.tx_dec["max_target_positions"])
     return make_srl_generator(
         model,
         gen_cfg,
@@ -100,4 +106,5 @@ def build_srl_generate_fn(cfg, comm, model):
         bos_id=tok.eos_token_id,  # decode starts from eos-as-bos
         eos_id=tok.eos_token_id,
         unk_id=tok.unk_token_id,
+        max_positions=max_positions,
     )

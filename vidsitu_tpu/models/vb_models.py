@@ -27,10 +27,19 @@ def _fold_events(x: jnp.ndarray) -> jnp.ndarray:
 
 def _maybe_normalize(x: jnp.ndarray, vid_cfg: "VideoCfg", dtype) -> jnp.ndarray:
     """On-device preprocessing: uint8 frames -> normalized compute dtype
-    (ships 4x fewer host->device bytes; north-star input pipeline)."""
+    (ships 4x fewer host->device bytes; north-star input pipeline).
+
+    uint8 frames arrive already channel-reversed by the host packer when
+    ``reverse_input_channel`` is set; the reference normalizes before
+    reversing (dat_loader.py:478-484), so reverse mean/std here to make
+    both preprocessing paths produce identical tensors.
+    """
     if x.dtype == jnp.uint8:
-        mean = jnp.asarray(vid_cfg.mean, dtype)
-        std = jnp.asarray(vid_cfg.std, dtype)
+        mean_t, std_t = vid_cfg.mean, vid_cfg.std
+        if vid_cfg.reverse_input_channel:
+            mean_t, std_t = mean_t[::-1], std_t[::-1]
+        mean = jnp.asarray(mean_t, dtype)
+        std = jnp.asarray(std_t, dtype)
         return (x.astype(dtype) / 255.0 - mean) / std
     return x.astype(dtype)
 

@@ -61,6 +61,11 @@ class VideoCfg:
     remat: bool = False  # jax.checkpoint each bottleneck (memory saver)
     mean: tuple = (0.45, 0.45, 0.45)
     std: tuple = (0.225, 0.225, 0.225)
+    # frames arriving on device are already channel-reversed host-side
+    # (pack_pathways); reference normalizes BEFORE reversing
+    # (dat_loader.py:478-484), so on-device normalization of reversed
+    # uint8 frames must use reversed mean/std to match bit-for-bit
+    reverse_input_channel: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     bn_momentum: float = 0.9
@@ -90,6 +95,7 @@ class VideoCfg:
             remat=remat,
             mean=tuple(vid_mdl.mean),
             std=tuple(vid_mdl.std),
+            reverse_input_channel=bool(vid_mdl.reverse_input_channel),
             dtype=dtype,
             param_dtype=param_dtype,
         )
