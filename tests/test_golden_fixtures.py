@@ -1,0 +1,159 @@
+"""Golden-fixture contract tests against the reference's example pickles.
+
+/root/reference/docs/{vb_eg,vbarg_eg,evrel_eg}.pkl are sample prediction
+files in the exact leaderboard format (reference docs/README.md). Two
+contracts are asserted here:
+
+1. The reference pickles load and score through our evl_fns entry point
+   unmodified (GT is synthetic — scores are meaningless, but every prep/
+   parse/metric path must run and emit the full metric-key set).
+2. Our evaluators' decode_batch output matches the golden schema
+   key-for-key and type-for-type.
+"""
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from vidsitu_tpu.data.comm import build_comm
+from vidsitu_tpu.data.synth import make_synth_dataset
+from vidsitu_tpu.evaluation.evl_fns import evaluate_predictions
+from vidsitu_tpu.utils.config import get_cfg_with_overrides
+
+GOLDEN = Path("/root/reference/docs")
+
+pytestmark = pytest.mark.skipif(
+    not (GOLDEN / "vb_eg.pkl").exists(), reason="reference fixtures absent"
+)
+
+
+@pytest.fixture(scope="module")
+def synth30(tmp_path_factory):
+    # golden pickles carry ann_idx 0..29 — fabricate a 30-video valid split
+    root = tmp_path_factory.mktemp("golden_gt")
+    paths = make_synth_dataset(root, n_train=4, n_valid=30, seed=11)
+    cfg = get_cfg_with_overrides("golden", **paths)
+    return cfg, paths, root
+
+
+def _score_golden(cfg, paths, root, task_type, pred_name):
+    return evaluate_predictions(
+        pred_file=str(GOLDEN / pred_name),
+        task_type=task_type,
+        split_file_path=paths["ds.vsitu.split_files_lb.valid"],
+        vinfo_file_path=paths["ds.vsitu.vinfo_files_lb.valid"],
+        vsitu_ann_file_path=paths["ds.vsitu.vsitu_ann_files_lb.valid"],
+        split_type="valid",
+        out_file=str(root / f"res_{task_type}.json"),
+    )
+
+
+def test_golden_vb_scores_through_evl_fns(synth30):
+    cfg, paths, root = synth30
+    out = _score_golden(cfg, paths, root, "vb", "vb_eg.pkl")
+    for k in ("Per_Ev_Top_1", "Per_Ev_Top_5", "recall_macro_1_th_9"):
+        assert k in out and np.isfinite(out[k]), (k, out)
+
+
+def test_golden_vbarg_scores_through_evl_fns(synth30):
+    cfg, paths, root = synth30
+    out = _score_golden(cfg, paths, root, "vb_arg", "vbarg_eg.pkl")
+    for k in ("cider", "rouge", "lea", "MacroVb_cider", "MacroArg_cider"):
+        assert k in out and np.isfinite(out[k]), (k, out)
+
+
+def test_golden_evrel_scores_through_evl_fns(synth30):
+    cfg, paths, root = synth30
+    out = _score_golden(cfg, paths, root, "evrel", "evrel_eg.pkl")
+    for k in ("Top_1", "Macro_Top_1"):
+        assert k in out and np.isfinite(out[k]), (k, out)
+
+
+# ---------------------------------------------------------------------------
+# schema parity: our decode_batch output vs the golden pickles
+# ---------------------------------------------------------------------------
+
+
+def test_vb_pred_schema_matches_golden(synth30):
+    cfg, paths, _ = synth30
+    comm = build_comm(cfg)
+    from vidsitu_tpu.evaluation.evaluators import EvalB
+
+    golden = pickle.load(open(GOLDEN / "vb_eg.pkl", "rb"))[0]
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2, 5, len(comm.vb_id_vocab.symbols)))
+    # construct without running model-side __init__ machinery
+    ev = EvalB.__new__(EvalB)
+    ev.comm = comm
+    ours = EvalB.decode_batch(ev, logits, np.arange(2))[0]
+
+    assert set(ours.keys()) == set(golden.keys())
+    assert isinstance(ours["ann_idx"], type(golden["ann_idx"]))
+    for key in ("pred_vbs_ev", "pred_scores_ev"):
+        assert len(ours[key]) == len(golden[key]) == 5
+        assert len(ours[key][0]) == len(golden[key][0]) == 5
+        assert isinstance(ours[key][0][0], type(golden[key][0][0]))
+
+
+def test_evrel_pred_schema_matches_golden(synth30):
+    cfg, paths, _ = synth30
+    comm = build_comm(cfg)
+    from vidsitu_tpu.evaluation.evaluators import EvalB_Acc
+
+    golden_lst = pickle.load(open(GOLDEN / "evrel_eg.pkl", "rb"))
+    golden = golden_lst[0]
+    n_ann = len(golden["pred_evrels_ev"][0])
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(2, 4, n_ann, 5))
+    ev = EvalB_Acc.__new__(EvalB_Acc)
+    ev.comm = comm
+    ours = EvalB_Acc.decode_batch(ev, logits, np.arange(2))[0]
+
+    assert set(ours.keys()) == set(golden.keys())
+    assert len(ours["pred_evrels_ev"]) == len(golden["pred_evrels_ev"]) == 4
+    assert isinstance(
+        ours["pred_evrels_ev"][0][0], type(golden["pred_evrels_ev"][0][0])
+    )
+    # label-name contract: every relation string the reference emits must be
+    # one of ours
+    our_labels = set(comm.evrel_dct_opp.values()) | {
+        comm.evrel_dct_opp[k] for k in comm.evrel_dct_opp
+    }
+    golden_labels = {
+        s for p in golden_lst for row in p["pred_evrels_ev"] for s in row
+    }
+    assert golden_labels <= our_labels, golden_labels - our_labels
+
+
+def test_vbarg_pred_schema_matches_golden(synth30):
+    cfg, paths, _ = synth30
+    comm = build_comm(cfg)
+    from vidsitu_tpu.evaluation.evaluators import EvalB_Gen
+
+    golden_lst = pickle.load(open(GOLDEN / "vbarg_eg.pkl", "rb"))
+    golden = golden_lst[0]
+    ev = EvalB_Gen.__new__(EvalB_Gen)
+    ev.comm = comm
+    tok = comm.gpt2_hf_tok
+    # fabricate decoded sequences: "<vb> <ArgX> words ..." per event
+    vb = comm.vb_id_vocab.symbols[5]
+    ag_start = list(comm.ag_name_dct.ag_dct_start.values())[0]
+    text = f"{vb} {ag_start} hello world"
+    ids = tok.encode(text)
+    L = 60
+    seq = np.full((1, 5, 1, L), tok.pad_token_id, dtype=np.int64)
+    seq[0, :, 0, : len(ids)] = ids
+    ours = EvalB_Gen.decode_batch(ev, seq, np.array([0]))[0]
+
+    assert set(ours.keys()) == set(golden.keys()) == {"ann_idx", "vb_output"}
+    assert isinstance(ours["ann_idx"], type(golden["ann_idx"]))
+    assert set(ours["vb_output"].keys()) == set(golden["vb_output"].keys())
+    for evk, dct in golden["vb_output"].items():
+        assert "vb_id" in dct and isinstance(dct["vb_id"], str)
+        # every arg key the reference emits must be a key our parser can emit
+        our_args = set(comm.ag_name_dct.ag_dct_main.values()) | {"vb_id"}
+        assert set(dct.keys()) <= our_args, (evk, set(dct.keys()) - our_args)
+    for evk, dct in ours["vb_output"].items():
+        assert isinstance(dct.get("vb_id", ""), str)
