@@ -43,8 +43,10 @@ def main_fn(cfg, uid: str):
         build_srl_generate_fn,
         init_model_variables,
     )
+    from vidsitu_tpu.parallel.mesh import make_mesh
     from vidsitu_tpu.train.learner import Learner
 
+    mesh = make_mesh(cfg)
     data = get_data(
         cfg,
         num_shards=jax.process_count(),
@@ -59,11 +61,12 @@ def main_fn(cfg, uid: str):
     variables = load_pretrained_variables(cfg, model, variables)
 
     if cfg.task_type == "vb_arg":
-        gen_fn = build_srl_generate_fn(cfg, comm, model)
+        gen_fn = build_srl_generate_fn(cfg, comm, model, mesh=mesh)
         eval_fn = EvalB_Gen(
             cfg, comm, gen_fn,
             split_type="valid" if not cfg.only_test else "test_srl",
             rank=jax.process_index(), world_size=jax.process_count(),
+            mesh=mesh,
         )
     elif cfg.task_type == "vb":
         from vidsitu_tpu.evaluation.evaluators import EvalB
@@ -72,6 +75,7 @@ def main_fn(cfg, uid: str):
             cfg, comm, model,
             split_type="valid" if not cfg.only_test else "test_verb",
             rank=jax.process_index(), world_size=jax.process_count(),
+            mesh=mesh,
         )
     elif cfg.task_type == "evrel":
         from vidsitu_tpu.evaluation.evaluators import EvalB_Acc
@@ -80,13 +84,14 @@ def main_fn(cfg, uid: str):
             cfg, comm, model,
             split_type="valid" if not cfg.only_test else "test_evrel",
             rank=jax.process_index(), world_size=jax.process_count(),
+            mesh=mesh,
         )
     else:
         raise NotImplementedError(cfg.task_type)
 
     learner = Learner(
         uid=uid, cfg=cfg, model=model, variables=variables, data=data,
-        eval_fn=eval_fn,
+        eval_fn=eval_fn, mesh=mesh,
     )
 
     if not (cfg.only_val or cfg.only_test or cfg.overfit_batch):

@@ -287,3 +287,39 @@ def test_resume_without_load_opt_keeps_fresh_optimizer(env):
     flat = jax.tree.leaves(l2.opt_state)
     assert any(np.asarray(x).size == 1 and int(np.asarray(x)) == 0
                for x in flat)
+
+
+def test_eval_sharded_equals_single_device(env, tmp_path):
+    """8-virtual-device mesh-sharded validation produces the identical
+    prediction pkl and metrics as unsharded single-device eval."""
+    import pickle
+
+    from vidsitu_tpu.models.selector import build_srl_generate_fn
+    from vidsitu_tpu.parallel.mesh import make_mesh
+
+    cfg = mk(env, "evshard")
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    model = build_model(cfg, comm)
+    batch = next(iter(data.train_dl))
+    variables = init_model_variables(model, batch, seed=9)
+
+    mesh = make_mesh(cfg)
+    assert int(mesh.devices.size) == 8
+
+    out = {}
+    for tag, m in (("single", None), ("mesh8", mesh)):
+        gen_fn = build_srl_generate_fn(cfg, comm, model, mesh=m)
+        ev = EvalB_Gen(cfg, comm, gen_fn, mesh=m)
+        pdir = tmp_path / tag
+        pdir.mkdir()
+        loss, acc = ev(variables, data.valid_dl, "valid", pdir)
+        preds = pickle.load(open(pdir / "valid_0.pkl", "rb"))
+        out[tag] = (loss, acc, preds)
+
+    l1, a1, p1 = out["single"]
+    l8, a8, p8 = out["mesh8"]
+    assert p1 == p8  # identical decoded predictions, order included
+    for k in a1:
+        np.testing.assert_allclose(a1[k], a8[k], rtol=1e-6)
+    np.testing.assert_allclose(l1["loss"], l8["loss"], rtol=1e-5)

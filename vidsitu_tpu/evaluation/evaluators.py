@@ -64,13 +64,37 @@ class _BaseEvaluator:
     met_keys: List[str] = []
 
     def __init__(self, cfg, comm, split_type: str = "valid", rank: int = 0,
-                 world_size: int = 1):
+                 world_size: int = 1, mesh=None):
         self.cfg = cfg
         self.comm = comm
         self.split_type = split_type
         self.rank = rank
         self.world_size = world_size
+        self.mesh = mesh
         self.loss_keys = ["loss"]
+
+    def _jit(self, fn):
+        """jit a (variables, batch) -> out fn; when a populated mesh is
+        given, shard the batch over the data axis so validation scales with
+        devices like training does (params replicated, XLA inserts the
+        gather)."""
+        import jax
+
+        if self.mesh is None or int(self.mesh.devices.size) <= 1:
+            return jax.jit(fn)
+        from ..parallel.mesh import data_sharded, replicated
+
+        return jax.jit(
+            fn,
+            in_shardings=(replicated(self.mesh), data_sharded(self.mesh)),
+        )
+
+    def _to_device(self, padded):
+        if self.mesh is not None and int(self.mesh.devices.size) > 1:
+            from ..parallel.mesh import shard_batch
+
+            return shard_batch(padded, self.mesh)
+        return {k: jnp.asarray(v) for k, v in padded.items()}
 
     def run_model(self, variables, batch):
         raise NotImplementedError
@@ -122,20 +146,19 @@ class _BaseEvaluator:
         losses: List[float] = []
         nums: List[int] = []
         bsv = dl.batch_size
+        if self.mesh is not None:
+            ndev = int(self.mesh.devices.size)
+            assert bsv % ndev == 0, (
+                f"eval batch {bsv} must divide the {ndev}-device mesh"
+            )
         for batch in dl:
             n_real = next(iter(batch.values())).shape[0]
             padded = pad_batch_to(batch, bsv)
-            out = self.run_model(
-                variables, {k: jnp.asarray(v) for k, v in padded.items()}
-            )
+            dev_batch = self._to_device(padded)
+            out = self.run_model(variables, dev_batch)
             results += self.decode_batch(out, padded["vseg_idx"])
             if self.compute_loss:
-                losses.append(
-                    self.run_loss(
-                        variables,
-                        {k: jnp.asarray(v) for k, v in padded.items()},
-                    )
-                )
+                losses.append(self.run_loss(variables, dev_batch))
                 nums.append(n_real)
         seen = set()
         uniq = [r for r in results
@@ -161,14 +184,10 @@ class EvalB(_BaseEvaluator):
     met_keys = ["Per_Ev_Top_1", "Per_Ev_Top_5", "recall_macro_1_th_9"]
 
     def __init__(self, cfg, comm, model, split_type: str = "valid",
-                 rank: int = 0, world_size: int = 1):
-        import jax
-
-        super().__init__(cfg, comm, split_type, rank, world_size)
+                 rank: int = 0, world_size: int = 1, mesh=None):
+        super().__init__(cfg, comm, split_type, rank, world_size, mesh)
         self.evl_met = EvlFn_Vb(cfg, comm, self.met_keys)
-        self.forward = jax.jit(
-            lambda v, b: model.apply(v, b)["mdl_out"]
-        )
+        self.forward = self._jit(lambda v, b: model.apply(v, b)["mdl_out"])
 
     def run_model(self, variables, batch):
         return np.asarray(self.forward(variables, batch))
@@ -207,13 +226,11 @@ class EvalB_Acc(_BaseEvaluator):
     compute_loss = True
 
     def __init__(self, cfg, comm, model, split_type: str = "valid",
-                 rank: int = 0, world_size: int = 1):
-        import jax
-
-        super().__init__(cfg, comm, split_type, rank, world_size)
+                 rank: int = 0, world_size: int = 1, mesh=None):
+        super().__init__(cfg, comm, split_type, rank, world_size, mesh)
         self.evl_met = EvlFn_EvRel(cfg, comm, self.met_keys)
-        self.forward = jax.jit(lambda v, b: model.apply(v, b)["mdl_out"])
-        self._loss_fwd = jax.jit(lambda v, b: model.apply(v, b)["loss"])
+        self.forward = self._jit(lambda v, b: model.apply(v, b)["mdl_out"])
+        self._loss_fwd = self._jit(lambda v, b: model.apply(v, b)["loss"])
 
     def run_loss(self, variables, batch) -> float:
         return float(self._loss_fwd(variables, batch))
@@ -258,8 +275,8 @@ class EvalB_Gen(_BaseEvaluator):
     met_keys = ["cider", "rouge", "lea", "MacroVb_cider", "MacroArg_cider"]
 
     def __init__(self, cfg, comm, generate_fn, split_type: str = "valid",
-                 rank: int = 0, world_size: int = 1):
-        super().__init__(cfg, comm, split_type, rank, world_size)
+                 rank: int = 0, world_size: int = 1, mesh=None):
+        super().__init__(cfg, comm, split_type, rank, world_size, mesh)
         self.generate_fn = generate_fn
         self.evl_met = EvalFnCap(
             cfg, comm, met_keys=["cider", "bleu", "rouge"]

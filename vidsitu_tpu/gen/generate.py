@@ -3,6 +3,7 @@ EvalB_Gen wiring, mdl_sf_base.py:657-675, evl_vsitu.py:159-214)."""
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Dict
 
 import jax
@@ -24,6 +25,7 @@ def make_srl_generator(
     unk_id=None,
     max_len: int = 0,
     max_positions: int = 1024,
+    mesh=None,
 ) -> Callable[[Any, Dict[str, jnp.ndarray]], jnp.ndarray]:
     """Build a jitted generate(variables, inp) -> (B, 5, 1, max_len).
 
@@ -42,7 +44,19 @@ def make_srl_generator(
     max_len = min(max_len, max_positions - 1)
     k = gen_cfg.beam_size
 
-    @jax.jit
+    if mesh is not None and int(mesh.devices.size) > 1:
+        # shard decode over the data mesh like training: params replicated,
+        # batch split on the data axis (the per-row beam state stays local
+        # to each device — no collectives in the decode loop)
+        from ..parallel.mesh import data_sharded, replicated
+
+        jit_kwargs = {
+            "in_shardings": (replicated(mesh), data_sharded(mesh)),
+        }
+    else:
+        jit_kwargs = {}
+
+    @partial(jax.jit, **jit_kwargs)
     def generate(variables, inp):
         toks = inp["seq_out_by_ev"][:, :, 0, :]
         b = toks.shape[0]

@@ -89,7 +89,7 @@ def init_model_variables(model, sample_batch: Dict[str, Any], seed: int = 0):
     return jax.jit(model.init)(jax.random.PRNGKey(seed), batch)
 
 
-def build_srl_generate_fn(cfg, comm, model):
+def build_srl_generate_fn(cfg, comm, model, mesh=None):
     tok = comm.gpt2_hf_tok
     gen_cfg = GenConfig.from_cfg(cfg.gen)
     # decoder position capacity caps decode length (fairseq
@@ -107,4 +107,5 @@ def build_srl_generate_fn(cfg, comm, model):
         eos_id=tok.eos_token_id,
         unk_id=tok.unk_token_id,
         max_positions=max_positions,
+        mesh=mesh,
     )
