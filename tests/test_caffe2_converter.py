@@ -144,9 +144,95 @@ def test_caffe2_i3d_conversion(tmp_path):
         assert cp[k].shape == flat_p[k].shape, k
 
 
-def test_caffe2_slowfast_raises(tmp_path):
-    p = tmp_path / "x.pkl"
-    with open(p, "wb") as f:
-        pickle.dump({"blobs": {}}, f)
-    with pytest.raises(NotImplementedError, match="PySlowFast"):
-        convert_caffe2_backbone(str(p), "slowfast")
+def _flax_to_caffe2_name(path):
+    """flax param/stat path (under backbone) -> caffe2 dual-pathway blob
+    name + kind ('conv'|'bn')."""
+    parts = path[1:]  # drop 'backbone'
+    stage = parts[0]  # e.g. s1_slow / s3_fast / s2_fuse
+    leaf = path[-1]
+    bn_suf = {"scale": "s", "bias": "b", "mean": "rm", "var": "riv"}
+    pre = "t_" if stage.endswith("_fast") else ""
+    k = stage[1]
+    if stage.endswith("_fuse"):
+        base = ("t_pool1_subsample" if k == "1"
+                else f"t_res{k}_0_branch2c_bn_subsample")
+        if leaf == "kernel":
+            return base + "_w", "conv"
+        return f"{base}_bn_{bn_suf[leaf]}", "bn"
+    if k == "1":  # stem
+        if leaf == "kernel":
+            return pre + "conv1_w", "conv"
+        return f"{pre}res_conv1_bn_{bn_suf[leaf]}", "bn"
+    blk = parts[1]
+    if blk.startswith("block_"):
+        i = blk.split("_")[1]
+        part = parts[2]
+        base = (f"res{k}_{i}_branch1" if part == "proj"
+                else f"res{k}_{i}_branch2{part}")
+        if leaf == "kernel":
+            return pre + base + "_w", "conv"
+        return f"{pre}{base}_bn_{bn_suf[leaf]}", "bn"
+    # non-local
+    j = blk.split("_")[1]
+    sub = parts[2]
+    if sub == "bn":
+        return f"{pre}nonlocal_conv{k}_{j}_bn_{bn_suf[leaf]}", "bn"
+    return f"{pre}nonlocal_conv{k}_{j}_{sub}_w", "conv"
+
+
+def test_caffe2_slowfast_dual_pathway_roundtrip(tmp_path):
+    """Value-exact round trip: flax SlowFast tree -> caffe2 dual-pathway
+    blobs (slow unprefixed, fast t_-prefixed, *_subsample fuse convs) ->
+    converter -> identical flax tree."""
+    paths = make_synth_dataset(tmp_path / "d", n_train=8, n_valid=4, seed=82,
+                               with_frames=True)
+    cfg = get_cfg_with_overrides(
+        "c2sf",
+        **{
+            **paths,
+            "task_type": "vb",
+            "mdl.mdl_name": "sf_base",
+            "mdl.sf_mdl_name": "slow_fast_nl_r50_8x8",
+            "vid_mdl.resnet.depth": 26,
+            "vid_mdl.crop_size": 32,
+            "vid_mdl.num_frames": 8,
+            "train.bs": 8,
+            "train.nw": 0,
+            "train.dtype": "float32",
+        },
+    )
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    batch = next(iter(data.train_dl))
+    model = build_model(cfg, comm)
+    variables = init_model_variables(model, batch)
+    flat_p = _flatten(variables["params"]["backbone"], ("backbone",))
+    flat_s = _flatten(variables["batch_stats"]["backbone"], ("backbone",))
+    assert any("_fast" in p[1] for p in flat_p), "expected dual-pathway tree"
+    assert any("_fuse" in p[1] for p in flat_p)
+
+    blobs = {}
+    for path, arr in {**flat_p, **flat_s}.items():
+        name, kind = _flax_to_caffe2_name(path)
+        a = np.asarray(arr)
+        if kind == "conv":
+            # flax (T,H,W,Ci,Co) -> caffe2/torch (Co,Ci,T,H,W)
+            a = np.transpose(a, (4, 3, 0, 1, 2))
+        assert name not in blobs, name
+        blobs[name] = a
+    blobs["pred_w"] = np.zeros((400, 2304), np.float32)
+    blobs["t_conv1_w_momentum"] = np.zeros((1,), np.float32)
+
+    pkl_path = tmp_path / "kinetics_slowfast.pkl"
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"blobs": blobs}, f)
+
+    params, stats = convert_caffe2_backbone(str(pkl_path), "slowfast")
+    cp = _flatten(params, ("backbone",))
+    cs = _flatten(stats, ("backbone",))
+    assert set(cp.keys()) == set(flat_p.keys())
+    assert set(cs.keys()) == set(flat_s.keys())
+    for k in flat_p:
+        np.testing.assert_array_equal(cp[k], np.asarray(flat_p[k]), err_msg=str(k))
+    for k in flat_s:
+        np.testing.assert_array_equal(cs[k], np.asarray(flat_s[k]), err_msg=str(k))
