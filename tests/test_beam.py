@@ -175,8 +175,15 @@ def test_beam_with_real_decoder_matches_stepwise_greedy():
     for b in range(B):
         row = manual[b]
         stop = np.where(row == EOS)[0]
-        n = (stop[0] + 1) if len(stop) else MAXLEN
-        np.testing.assert_array_equal(got[b, :n], row[:n])
+        if len(stop):
+            n = stop[0] + 1
+            np.testing.assert_array_equal(got[b, :n], row[:n])
+        else:
+            # never terminated in MAXLEN steps: fairseq's extra final step
+            # forces a terminating EOS after the full content budget
+            n = MAXLEN + 1
+            np.testing.assert_array_equal(got[b, :MAXLEN], row)
+            assert got[b, MAXLEN] == EOS
         assert (got[b, n:] == PAD).all()
 
 

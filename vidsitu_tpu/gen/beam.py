@@ -17,8 +17,16 @@ formulation:
 Feature parity with ``cfg.gen``: beam_size, max_len_b, min_len,
 normalize_scores, len_penalty, unk_penalty, temperature, prefix forcing
 (seq_gen.py:546-573), no_repeat_ngram_size (seq_gen.py:739-772).
-Greedy (beam=1) matches the reference exactly; for beam>1 tie-breaking
-may differ from fairseq's 2*beam candidate scheme.
+
+fairseq-exact beam semantics (verified step-for-step against a numpy
+port of SequenceGenerator in tests/test_beam_fairseq_parity.py):
+  * 2*beam candidates per step; EOS finalizes only from the top
+    ``beam_size`` ranks (seq_gen.py:407-413);
+  * finalized hypotheses are never evicted — later, better EOS
+    candidates only fill remaining quota slots, exactly like fairseq's
+    append-until-quota ``finalize_hypos`` (seq_gen.py:416-464);
+  * one extra final step with lprobs forced to EOS so every hypothesis
+    terminates (seq_gen.py:302-304).
 """
 
 from __future__ import annotations
@@ -132,14 +140,17 @@ def beam_search(
       prefix_tokens: (B, P) forced first tokens (verb forcing in SRL decode).
 
     Returns:
-      seqs:    (B, K, max_len) generated tokens (bos stripped), pad after eos
+      seqs:    (B, K, max_len+1) generated tokens (bos stripped; up to
+               max_len content tokens plus the terminating eos, matching
+               fairseq's "one extra step for EOS"), pad after eos
       scores:  (B, K) final (normalized if configured) scores, sorted desc
       lengths: (B, K) generated lengths incl. eos
     """
     k = gen_cfg.beam_size
     lp = gen_cfg.len_penalty
     rows = batch_size * k
-    seq_len = max_len + 1  # slot 0 is bos
+    n_steps = max_len + 1  # fairseq: range(max_len + 1), eos forced at last
+    seq_len = n_steps + 1  # slot 0 is bos
 
     alive_seq = jnp.full((rows, seq_len), pad_id, jnp.int32)
     alive_seq = alive_seq.at[:, 0].set(bos_id)
@@ -162,16 +173,12 @@ def beam_search(
         return score / (length.astype(jnp.float32) ** lp)
 
     def cond(state):
-        t, _, alive_scores_, _, _, fin_scores_, _ = state
-        if gen_cfg.normalize_scores and lp > 0:
-            best_alive = alive_scores_.max(axis=1) / (float(max_len) ** lp)
-        else:
-            best_alive = alive_scores_.max(axis=1)
-        worst_fin = fin_scores_.min(axis=1)
-        done = jnp.all(
-            (worst_fin >= best_alive) | (worst_fin > NEG_INF / 2)
-        )
-        return (t < max_len) & (~done)
+        t, _, _, _, _, fin_scores_, _ = state
+        # finalized hypotheses are never evicted, so a sentence with a full
+        # quota is done — fairseq's per-sentence batch shrinking
+        # (seq_gen.py:430-464) expressed as a whole-batch early exit
+        quota_full = jnp.all(fin_scores_ > NEG_INF / 2)
+        return (t < n_steps) & (~quota_full)
 
     def body(state):
         t, alive_seq_, alive_scores_, cache, fin_seq_, fin_scores_, fin_lens_ = (
@@ -213,6 +220,12 @@ def beam_search(
                 jnp.arange(vocab_size)[None, :] == ptok_rows, lprobs, NEG_INF
             )
             lprobs = jnp.where(t < prefix_len, forced, lprobs)
+        # final step: only eos may be emitted, so every hypothesis
+        # terminates (fairseq seq_gen.py:302-304)
+        eos_only = jnp.where(
+            (jnp.arange(vocab_size) == eos_id)[None, :], lprobs, NEG_INF
+        )
+        lprobs = jnp.where(t >= n_steps - 1, eos_only, lprobs)
 
         cand = alive_scores_.reshape(rows, 1) + lprobs  # (B*K, V)
         cand = cand.reshape(batch_size, k * vocab_size)
@@ -238,7 +251,8 @@ def beam_search(
         # [:, :beam_size]); lower-ranked junk eos must not fill the quota.
         rank_ok = jnp.arange(2 * k)[None, :] < k
         eos_norm = norm(top_scores, t + 1)
-        eos_scores = jnp.where(is_eos & rank_ok, eos_norm, NEG_INF)
+        eos_valid = is_eos & rank_ok & (top_scores > NEG_INF / 2)
+        eos_scores = jnp.where(eos_valid, eos_norm, NEG_INF)
         all_fin_scores = jnp.concatenate([fin_scores_, eos_scores], axis=1)
         all_fin_seq = jnp.concatenate(
             [fin_seq_, grown], axis=1
@@ -247,7 +261,25 @@ def beam_search(
             [fin_lens_, jnp.full(eos_scores.shape, t + 1, jnp.int32)],
             axis=1,
         )
-        new_fin_scores, fin_sel = jax.lax.top_k(all_fin_scores, k)
+        # fairseq's finalize_hypos APPENDS until the quota is full and never
+        # evicts (seq_gen.py:416-464): existing finalized entries keep their
+        # slots; new eos candidates fill remaining slots in rank order.
+        # Select k entries by priority = (existing first, then candidates by
+        # rank), realized as top_k over negated priorities (stable on ties).
+        big = 10 * k
+        exist_pri = jnp.where(
+            fin_scores_ > NEG_INF / 2,
+            jnp.arange(k)[None, :],
+            big + jnp.arange(k)[None, :],  # empty slots last, stable order
+        )
+        cand_pri = jnp.where(
+            eos_valid,
+            k + jnp.arange(2 * k)[None, :],
+            2 * big + jnp.arange(2 * k)[None, :],
+        )
+        all_pri = jnp.concatenate([exist_pri, cand_pri], axis=1)
+        _, fin_sel = jax.lax.top_k(-all_pri, k)
+        new_fin_scores = jnp.take_along_axis(all_fin_scores, fin_sel, axis=1)
         new_fin_seq = jnp.take_along_axis(
             all_fin_seq, fin_sel[:, :, None], axis=1
         )
@@ -286,8 +318,13 @@ def beam_search(
         jax.lax.while_loop(cond, body, state)
     )
 
-    # finalize still-alive beams (no eos emitted) at final length
+    # Degenerate fallback only (e.g. min_len >= the step budget blocks eos
+    # entirely): surface still-alive beams. When the quota is full, fairseq
+    # discards alive beams (the sentence left the batch) — mask them so
+    # they can never displace a finalized hypothesis.
     alive_norm = norm(alive_scores, jnp.maximum(t, 1))
+    quota_full = jnp.all(fin_scores > NEG_INF / 2, axis=1, keepdims=True)
+    alive_norm = jnp.where(quota_full, NEG_INF, alive_norm)
     all_scores = jnp.concatenate([fin_scores, alive_norm], axis=1)
     all_seq = jnp.concatenate(
         [fin_seq, alive_seq.reshape(batch_size, k, seq_len)], axis=1

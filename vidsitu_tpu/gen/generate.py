@@ -98,7 +98,8 @@ def make_srl_generator(
             prefix_tokens=prefix,
             unk_id=unk_id,
         )
-        # top beam only, shaped like the reference out_sents (B, 5, 1, L)
-        return seqs[:, 0].reshape(b, 5, 1, max_len)
+        # top beam only, shaped like the reference out_sents (B, 5, 1, L);
+        # L = max_len + 1 (content budget + terminating eos)
+        return seqs[:, 0].reshape(b, 5, 1, seqs.shape[-1])
 
     return generate
