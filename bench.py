@@ -2,8 +2,16 @@
 
 Headline metric (north star, BASELINE.md): SlowFast-R50 8x8 feature
 extraction throughput in clips/sec/chip at the real geometry
-(fast 32x224x224, slow 8x224x224, bf16 compute). ``vs_baseline`` is 0.0:
-the reference repo publishes no in-repo throughput number.
+(fast 32x224x224, slow 8x224x224, bf16 compute).
+
+``vs_baseline`` compares against a documented analytic estimate of the
+reference-era GPU figure (the repo publishes no throughput number and
+this environment has no GPU or egress to measure/fetch one):
+PyTorch 1.5 / CUDA 10.2 (reference INSTALL.md:6-8) implies V100-class
+fp32 inference; SlowFast-8x8-R50 is 65.7 GFLOPs/clip (SlowFast paper,
+Table 1); V100 fp32 peak is 15.7 TFLOP/s and cuDNN-era 3D-CNN pipelines
+sustain roughly 35% of it, giving 15.7e12 * 0.35 / 65.7e9 ~= 84 ->
+**80 clips/s/GPU** (estimate, stated to one significant figure).
 
 Other benches: ``python bench.py srl`` (SRL train-step samples/sec).
 """
@@ -13,6 +21,10 @@ from __future__ import annotations
 import json
 import sys
 import time
+
+# analytic V100 fp32 estimate for SlowFast-8x8-R50 inference (see module
+# docstring for the derivation); the north-star target is >=10x this
+GPU_BASELINE_CLIPS_PER_SEC = 80.0
 
 
 def bench_slowfast_featext(clips: int = 120, iters: int = 10) -> dict:
@@ -51,9 +63,11 @@ def bench_slowfast_featext(clips: int = 120, iters: int = 10) -> dict:
     @partial(jax.jit, static_argnums=2)
     def run(v, x, n):
         def body(_, carry):
+            # perturb BOTH pathways: a loop-invariant input lets XLA hoist
+            # that pathway's stem out of the loop and over-report
             inp = {
                 "frms_ev_fast_tensor": x["frms_ev_fast_tensor"] + carry,
-                "frms_ev_slow_tensor": x["frms_ev_slow_tensor"],
+                "frms_ev_slow_tensor": x["frms_ev_slow_tensor"] + carry,
             }
             f = model.apply(v, inp)["feats"]
             return (f.mean() * 1e-9).astype(jnp.bfloat16)
@@ -76,7 +90,7 @@ def bench_slowfast_featext(clips: int = 120, iters: int = 10) -> dict:
         "metric": "slowfast_r50_8x8_featext",
         "value": round(cps, 2),
         "unit": "clips/sec/chip",
-        "vs_baseline": 0.0,
+        "vs_baseline": round(cps / GPU_BASELINE_CLIPS_PER_SEC, 2),
     }
 
 

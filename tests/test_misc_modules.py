@@ -114,3 +114,53 @@ def test_prep_parse_and_pool():
 
         with _pytest.raises(MissingToolError, match="ffmpeg"):
             extract_frames("x.mp4", "/tmp/fr", "v_a_seg_0_10")
+
+
+def test_packed_stem_conv_matches_plain_conv():
+    """_PackedStemConv (output-packed stride-2 conv) == plain nn.Conv with
+    the same canonical kernel, for both fast-stem and odd-size geometry."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from vidsitu_tpu.models.video_backbone import _PackedStemConv
+
+    rng = jax.random.PRNGKey(0)
+    for (shape, f, kt) in (
+        ((2, 4, 32, 32, 3), 8, 5),
+        ((1, 2, 64, 64, 3), 8, 1),
+    ):
+        x = jax.random.normal(rng, shape, jnp.float32)
+        packed = _PackedStemConv(f, (kt, 7, 7), g=4)
+        v = packed.init(jax.random.PRNGKey(1), x)
+        yp = packed.apply(v, x)
+        ref = nn.Conv(
+            f, kernel_size=(kt, 7, 7), strides=(1, 2, 2),
+            padding=((kt // 2, kt // 2), (3, 3), (3, 3)), use_bias=False,
+        )
+        yr = ref.apply({"params": {"kernel": v["params"]["kernel"]}}, x)
+        assert yp.shape == yr.shape
+        np.testing.assert_allclose(
+            np.asarray(yp), np.asarray(yr), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_packed_stem_conv_gradients_match():
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from vidsitu_tpu.models.video_backbone import _PackedStemConv
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 2, 16, 16, 3))
+    packed = _PackedStemConv(8, (3, 7, 7), g=4)
+    v = packed.init(jax.random.PRNGKey(3), x)
+    gp = jax.grad(lambda k: (packed.apply({"params": {"kernel": k}}, x) ** 2).sum())(
+        v["params"]["kernel"]
+    )
+    ref = nn.Conv(8, kernel_size=(3, 7, 7), strides=(1, 2, 2),
+                  padding=((1, 1), (3, 3), (3, 3)), use_bias=False)
+    gr = jax.grad(lambda k: (ref.apply({"params": {"kernel": k}}, x) ** 2).sum())(
+        v["params"]["kernel"]
+    )
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), rtol=1e-4, atol=1e-4)
