@@ -31,6 +31,7 @@ from .metrics.bleu import Bleu
 from .metrics.cider import Cider
 from .metrics.coref import Evaluator, get_mention_assignments
 from .metrics.coref import ALL_COREF_METRICS
+from .metrics.meteor import Meteor
 from .metrics.rouge import Rouge
 
 _ARGM_RE = re.compile(r"ArgM (.*)")
@@ -319,6 +320,9 @@ class EvalFnCap:
             "bleu": ScorerE(Bleu(4), ["bleu_1", "bleu_2", "bleu_3", "bleu_4"]),
             "cider": ScorerE(Cider("corpus"), ["cider"]),
             "rouge": ScorerE(Rouge(), ["rouge"]),
+            # available like the reference's scorer registry
+            # (evl_fns.py:410-432); not in any default met_keys
+            "meteor": ScorerE(Meteor(), ["meteor"]),
         }
         self.scorers = {k: scorer_dict[k] for k in met_keys}
         self.coval_all_metrics = ALL_COREF_METRICS
