@@ -61,6 +61,12 @@ class ByteLevelBPE:
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
         self.bpe_ranks = {pair: i for i, pair in enumerate(merges)}
         self._cache: Dict[str, str] = {}
+        # C++ encode core (vidsitu_tpu/native/bpe_core.cpp) when a
+        # toolchain is available; id-parity with the Python path is
+        # asserted in tests. Lazily constructed on first encode.
+        self._merges_list = list(merges)
+        self._native = None
+        self._native_tried = False
 
     # -- construction --------------------------------------------------------
     @classmethod
@@ -128,8 +134,26 @@ class ByteLevelBPE:
         return out
 
     # -- public encode/decode ----------------------------------------------------
+    def _native_core(self):
+        if not self._native_tried:
+            self._native_tried = True
+            try:
+                from ..native import NativeBPE
+
+                self._native = NativeBPE(self.encoder, self._merges_list)
+            except Exception:
+                self._native = None
+        return self._native
+
     def encode_ordinary(self, text: str) -> List[int]:
         """Encode text with no special-token handling."""
+        native = self._native_core()
+        if native is not None:
+            return native.encode(text)
+        return self._encode_ordinary_py(text)
+
+    def _encode_ordinary_py(self, text: str) -> List[int]:
+        """Pure-Python reference path (also the no-toolchain fallback)."""
         ids: List[int] = []
         for tok in _PRETOK_PAT.findall(text):
             tok_b = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
