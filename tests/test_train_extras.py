@@ -237,30 +237,36 @@ def test_multirank_prediction_merge(env, tmp_path):
     assert sorted(p["ann_idx"] for p in merged) == [0, 1, 2]
 
 
-def test_resume_restores_optimizer_state(env):
+@pytest.mark.parametrize("backend", ["pickle", "orbax"])
+def test_resume_restores_optimizer_state(env, backend):
     """2 epochs straight == 1 epoch + kill + resume(load_opt=True) + 1 epoch.
 
     Verifies the reference contract (trn_utils.py:676-706): resume restores
-    optimizer moments, counters, and RNG so training continues bit-exact.
+    optimizer moments, counters, and RNG so training continues bit-exact —
+    for both checkpoint backends (pickle payload and async orbax).
     """
-    cfgA = mk(env, "resA", **{"train.use_reduce_lr_plateau": False})
+    bk = {"train.ckpt_backend": backend}
+    cfgA = mk(env, f"resA_{backend}",
+              **{"train.use_reduce_lr_plateau": False, **bk})
     la = _make_learner(cfgA)
     la.fit(epochs=2, lr=1e-3)
 
-    cfgB = mk(env, "resB", **{"train.use_reduce_lr_plateau": False})
+    cfgB = mk(env, f"resB_{backend}",
+              **{"train.use_reduce_lr_plateau": False, **bk})
     lb = _make_learner(cfgB)
     lb.fit(epochs=1, lr=1e-3)
 
     cfgB2 = mk(
-        env, "resB",
+        env, f"resB_{backend}",
         **{
             "train.use_reduce_lr_plateau": False,
             "train.resume": True,
             "train.load_opt": True,
+            **bk,
         },
     )
     lb2 = _make_learner(cfgB2)
-    assert lb2.num_epoch == 1 and lb2._pending_opt_bytes is not None
+    assert lb2.num_epoch == 1 and lb2._pending_opt is not None
     lb2.fit(epochs=1, lr=1e-3)
 
     pa = jax.tree.leaves(la.variables["params"])
@@ -281,7 +287,7 @@ def test_resume_without_load_opt_keeps_fresh_optimizer(env):
     l1.fit(epochs=1, lr=1e-3)
     cfg2 = mk(env, "resC", **{"train.resume": True, "train.load_opt": False})
     l2 = _make_learner(cfg2)
-    assert l2._pending_opt_bytes is None
+    assert l2._pending_opt is None
     l2.prepare_optimizer(1e-3)
     # fresh Adam: count == 0
     flat = jax.tree.leaves(l2.opt_state)

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax import serialization
 
 from ..parallel.mesh import data_sharded, make_mesh, replicated, shard_batch
 from ..utils.config import CfgProcessor
@@ -81,8 +80,11 @@ class Learner:
         self.opt_state = None
         self.optimizer = None
         self.plateau_wait = 0
-        self._pending_opt_bytes = None
+        self._pending_opt = None  # stashed backend payload (load-before-fit)
         self._pending_lr = None
+        from .checkpoint import get_backend
+
+        self.ckpt_backend = get_backend(cfg.train.ckpt_backend)
         self.rng = jax.random.PRNGKey(cfg.train.seed)
         from .pretrained import make_freeze_mask
 
@@ -147,14 +149,14 @@ class Learner:
         self._grad_accum = accum
         self._lr = lr
         self.opt_state = self.optimizer.init(self.variables["params"])
-        if self._pending_opt_bytes is not None:
+        if self._pending_opt is not None:
             # consume optimizer state stashed by load_model_dict(load_opt=True)
             # — the reference restores optimizer+scheduler on resume
             # (trn_utils.py:676-706)
-            self.opt_state = serialization.from_bytes(
-                self.opt_state, self._pending_opt_bytes
+            self.opt_state = self.ckpt_backend.restore_opt(
+                self.opt_state, self._pending_opt
             )
-            self._pending_opt_bytes = None
+            self._pending_opt = None
             restored_lr = self._pending_lr
             if restored_lr is None:
                 hp = (
@@ -350,10 +352,12 @@ class Learner:
                 self.best_met = last_met
                 self.save_model_dict()
             tracker.end_run()
+            self.ckpt_backend.wait()
             raise
         self.update_log_file(f"epochs done. elapsed {time.time() - st_time:.1f}s")
         tracker.log_artifact(self.txt_log_file)
         tracker.end_run()
+        self.ckpt_backend.wait()  # flush any in-flight async save
 
     def overfit_batch(self, epochs: int, lr: float):
         """Single-batch convergence sanity (trn_utils.py:915-939)."""
@@ -377,16 +381,7 @@ class Learner:
         if jax.process_index() != 0:  # rank-0-only side effect
             return
         path = Path(path) if path else self.model_file
-        payload = {
-            "model_state_dict": serialization.to_bytes(self.variables["params"]),
-            "model_extra_state": serialization.to_bytes(
-                {k: v for k, v in self.variables.items() if k != "params"}
-            ),
-            "optimizer_state_dict": (
-                serialization.to_bytes(self.opt_state)
-                if self.opt_state is not None
-                else b""
-            ),
+        meta = {
             "num_it": self.num_it,
             "num_epoch": self.num_epoch,
             "cfgtxt": json.dumps(self.cfg.to_dict()),
@@ -401,49 +396,47 @@ class Learner:
             # reference does not persist RNG)
             "rng": np.asarray(self.rng).tolist(),
         }
-        import pickle
-
-        with open(path, "wb") as f:
-            pickle.dump(payload, f)
+        extra = {k: v for k, v in self.variables.items() if k != "params"}
+        self.ckpt_backend.save(
+            path, self.variables["params"], extra, self.opt_state, meta
+        )
 
     def load_model_dict(self, resume_path: str, load_opt: bool = False):
-        import pickle
-
-        p = Path(resume_path)
-        if not p.exists():
-            self.logger.info("no checkpoint at %s; starting fresh", p)
+        loaded = self.ckpt_backend.load(resume_path)
+        if loaded is None:
+            self.logger.info(
+                "no checkpoint at %s; starting fresh", resume_path
+            )
             return
-        with open(p, "rb") as f:
-            payload = pickle.load(f)
-        params = serialization.from_bytes(
-            self.variables["params"], payload["model_state_dict"]
+        params = self.ckpt_backend.restore_params(
+            self.variables["params"], loaded
         )
         extra = {k: v for k, v in self.variables.items() if k != "params"}
-        if extra and payload.get("model_extra_state"):
-            extra = serialization.from_bytes(
-                extra, payload["model_extra_state"]
-            )
+        if extra:
+            extra = self.ckpt_backend.restore_extra(extra, loaded)
         self.variables = dict(extra, params=params)
-        self.num_it = payload.get("num_it", 0)
-        self.num_epoch = payload.get("num_epoch", 0)
-        self.best_met = payload.get("best_met", None)
-        if payload.get("rng") is not None:
-            self.rng = jnp.asarray(payload["rng"], dtype=jnp.uint32)
-        if load_opt and payload.get("optimizer_state_dict"):
-            sched = payload.get("scheduler_state_dict") or {}
+        meta = loaded["meta"]
+        self.num_it = meta.get("num_it", 0)
+        self.num_epoch = meta.get("num_epoch", 0)
+        self.best_met = meta.get("best_met", None)
+        if meta.get("rng") is not None:
+            self.rng = jnp.asarray(meta["rng"], dtype=jnp.uint32)
+        if load_opt and self.ckpt_backend.has_opt(loaded):
+            sched = meta.get("scheduler_state_dict") or {}
             self.plateau_wait = int(sched.get("plateau_wait", 0))
             if self.opt_state is None and self.optimizer is None:
                 # optimizer is created at fit() time; prepare_optimizer
                 # consumes this stash (ref restores in load_model_dict,
                 # trn_utils.py:703-706)
-                self._pending_opt_bytes = payload["optimizer_state_dict"]
+                self._pending_opt = loaded
                 self._pending_lr = sched.get("lr")
             else:
-                self.opt_state = serialization.from_bytes(
-                    self.opt_state, payload["optimizer_state_dict"]
+                self.opt_state = self.ckpt_backend.restore_opt(
+                    self.opt_state, loaded
                 )
                 if sched.get("lr") is not None:
                     self._set_lr(float(sched["lr"]))
         self.logger.info(
-            "resumed from %s at epoch %d it %d", p, self.num_epoch, self.num_it
+            "resumed from %s at epoch %d it %d",
+            resume_path, self.num_epoch, self.num_it,
         )
