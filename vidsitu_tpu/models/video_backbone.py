@@ -152,15 +152,16 @@ class _PackedStemConv(nn.Module):
         pad_l = kh // 2
         span = 8 * (h_out // g - 1) + khp
         pad_r = max(span - pad_l - h, 0)
+        # no preferred_element_type: match nn.Conv's dtype semantics so the
+        # conv transpose (backward) sees uniform dtypes
         y = jax.lax.conv_general_dilated(
-            x, wp,
+            x.astype(self.dtype), wp,
             window_strides=(1, 2 * g, 2 * g),
             padding=(
                 (kt // 2, kt // 2), (pad_l, pad_r), (pad_l, pad_r)
             ),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        )
         # depth-to-space unpack: (n,t,h/2g,w/2g,g*g*F) -> (n,t,h/2,w/2,F)
         y = y.reshape(n, t, h_out // g, w_out // g, g, g, f)
         y = y.transpose(0, 1, 2, 4, 3, 5, 6)
