@@ -248,3 +248,35 @@ def test_uint8_device_preproc_matches_host_path():
                 np.asarray(dev), host[k].astype(np.float32),
                 rtol=1e-6, atol=1e-6,
             )
+
+
+def test_loader_threaded_items_match_serial(synth_cfg):
+    """Thread-pool item fetching yields identical batches in identical
+    order vs the serial path."""
+    from vidsitu_tpu.data.dataset import VsituDS
+    from vidsitu_tpu.data.loader import DataLoader
+
+    cfg = mk_cfg(synth_cfg, **{"task_type": "vb_arg"})
+    ds = VsituDS(cfg, {}, split_type="train")
+    a = DataLoader(ds, batch_size=3, shuffle=True, seed=3, num_threads=0)
+    b = DataLoader(ds, batch_size=3, shuffle=True, seed=3, num_threads=4)
+    a.set_epoch(1)
+    b.set_epoch(1)
+    for ba, bb in zip(list(a), list(b)):
+        assert set(ba) == set(bb)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+
+
+def test_prefetch_to_device_preserves_order(synth_cfg):
+    import jax
+    from jax.sharding import Mesh
+
+    from vidsitu_tpu.parallel.mesh import prefetch_to_device
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("data",))
+    batches = [{"x": np.full((2, 3), i)} for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), mesh, lookahead=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(b["x"]), batches[i]["x"])

@@ -99,9 +99,20 @@ class DataLoader:
         )
         self.prefetch = prefetch
         self.num_threads = num_threads
+        self._pool = None  # lazy persistent item-fetch pool
 
     def set_epoch(self, epoch: int):
         self.sampler.set_epoch(epoch)
+
+    def _item_pool(self):
+        # JPEG decode (PIL) releases the GIL, so a thread pool gives real
+        # parallel frame decoding — the reference's nw dataloader workers
+        # (configs/vsitu_cfg.yml:91) without process boundaries
+        if self._pool is None and self.num_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.num_threads)
+        return self._pool
 
     def _batch_indices(self) -> List[List[int]]:
         idxs = list(self.sampler)
@@ -120,7 +131,12 @@ class DataLoader:
         return nb
 
     def _make_batch(self, bidx: List[int]) -> Dict[str, np.ndarray]:
-        return self.collate_fn([self.dataset[i] for i in bidx])
+        pool = self._item_pool()
+        if pool is not None and len(bidx) > 1:
+            items = list(pool.map(self.dataset.__getitem__, bidx))
+        else:
+            items = [self.dataset[i] for i in bidx]
+        return self.collate_fn(items)
 
     def __iter__(self):
         batches = self._batch_indices()

@@ -48,3 +48,18 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
 def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     sh = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def prefetch_to_device(batches, mesh: Mesh, lookahead: int = 1):
+    """Iterate host batches with their device transfer started
+    ``lookahead`` steps early (device_put is async), overlapping
+    host->device copies of batch k+1 with the compute of batch k."""
+    from collections import deque
+
+    buf = deque()
+    for batch in batches:
+        buf.append(shard_batch(batch, mesh))
+        if len(buf) > lookahead:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

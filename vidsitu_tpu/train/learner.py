@@ -26,7 +26,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..parallel.mesh import data_sharded, make_mesh, replicated, shard_batch
+from ..parallel.mesh import (
+    data_sharded,
+    make_mesh,
+    prefetch_to_device,
+    replicated,
+    shard_batch,
+)
 from ..utils.config import CfgProcessor
 
 
@@ -240,10 +246,12 @@ class Learner:
             self.cfg.tpu.profile and self.num_epoch == 0 and jax is not None
         )
         prof_dir = str(Path(self.cfg.misc.tmp_path) / "profile" / self.uid)
-        for bix, batch in enumerate(dl):
+        # device transfers of batch k+1 overlap with the compute of batch
+        # k (prefetch_to_device); host-side decode overlaps via the
+        # loader's own prefetch threads
+        for bix, batch in enumerate(prefetch_to_device(dl, self.mesh)):
             if profiling and bix == 1:
                 jax.profiler.start_trace(prof_dir)
-            batch = shard_batch(batch, self.mesh)
             self.rng, step_rng = jax.random.split(self.rng)
             params, extra, self.opt_state, loss = train_step(
                 params, extra, self.opt_state, batch, step_rng
