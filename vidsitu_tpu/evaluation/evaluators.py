@@ -74,27 +74,17 @@ class _BaseEvaluator:
         self.loss_keys = ["loss"]
 
     def _jit(self, fn):
-        """jit a (variables, batch) -> out fn; when a populated mesh is
-        given, shard the batch over the data axis so validation scales with
-        devices like training does (params replicated, XLA inserts the
-        gather)."""
-        import jax
+        """jit with the shared eval-sharding policy: batch data-sharded
+        over the mesh so validation scales with devices like training
+        (parallel/mesh.maybe_shard_jit)."""
+        from ..parallel.mesh import maybe_shard_jit
 
-        if self.mesh is None or int(self.mesh.devices.size) <= 1:
-            return jax.jit(fn)
-        from ..parallel.mesh import data_sharded, replicated
-
-        return jax.jit(
-            fn,
-            in_shardings=(replicated(self.mesh), data_sharded(self.mesh)),
-        )
+        return maybe_shard_jit(fn, self.mesh)
 
     def _to_device(self, padded):
-        if self.mesh is not None and int(self.mesh.devices.size) > 1:
-            from ..parallel.mesh import shard_batch
+        from ..parallel.mesh import to_device
 
-            return shard_batch(padded, self.mesh)
-        return {k: jnp.asarray(v) for k, v in padded.items()}
+        return to_device(padded, self.mesh)
 
     def run_model(self, variables, batch):
         raise NotImplementedError

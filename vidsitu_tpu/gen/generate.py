@@ -44,19 +44,12 @@ def make_srl_generator(
     max_len = min(max_len, max_positions - 1)
     k = gen_cfg.beam_size
 
-    if mesh is not None and int(mesh.devices.size) > 1:
-        # shard decode over the data mesh like training: params replicated,
-        # batch split on the data axis (the per-row beam state stays local
-        # to each device — no collectives in the decode loop)
-        from ..parallel.mesh import data_sharded, replicated
+    # shard decode over the data mesh like training: params replicated,
+    # batch split on the data axis (the per-row beam state stays local to
+    # each device — no collectives in the decode loop); policy lives in
+    # parallel/mesh.maybe_shard_jit
+    from ..parallel.mesh import maybe_shard_jit
 
-        jit_kwargs = {
-            "in_shardings": (replicated(mesh), data_sharded(mesh)),
-        }
-    else:
-        jit_kwargs = {}
-
-    @partial(jax.jit, **jit_kwargs)
     def generate(variables, inp):
         toks = inp["seq_out_by_ev"][:, :, 0, :]
         b = toks.shape[0]
@@ -102,4 +95,4 @@ def make_srl_generator(
         # L = max_len + 1 (content budget + terminating eos)
         return seqs[:, 0].reshape(b, 5, 1, seqs.shape[-1])
 
-    return generate
+    return maybe_shard_jit(generate, mesh)

@@ -184,11 +184,11 @@ class ConvBN(nn.Module):
         kt, kh, kw = self.kernel
         h, w_in = x.shape[2], x.shape[3]
         use_packed = (
-            self.strides[1:] == (2, 2)
+            self.strides == (1, 2, 2)  # _PackedStemConv hardcodes T-stride 1
             and self.features * 16 <= 128
             and kh == kw == 7
-            and (h // 2) % 4 == 0
-            and (w_in // 2) % 4 == 0
+            and h % 8 == 0  # even input AND 4-divisible output rows
+            and w_in % 8 == 0
         )
         if use_packed:
             x = _PackedStemConv(

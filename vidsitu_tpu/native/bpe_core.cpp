@@ -14,6 +14,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -120,7 +121,11 @@ struct Bpe {
   // per-byte symbol for the 256 byte-encoded single chars (-1 if absent)
   int32_t byte_sym[256];
   std::string byte_str[256];  // UTF-8 of the mapped codepoint
+  // encode() is called concurrently from the data loader's thread pool
+  // (ctypes releases the GIL), so the memoization cache is mutex-guarded;
+  // everything else is read-only after bpe_create.
   std::unordered_map<std::string, std::vector<int32_t>> cache;
+  std::mutex cache_mu;
 
   int32_t intern(const std::string& s) {
     auto it = sym_ids.find(s);
@@ -142,10 +147,13 @@ int64_t pack(int32_t a, int32_t b) {
 void bpe_word(Bpe* h, const std::string& token,
               const std::vector<int32_t>& start_syms,
               std::vector<int32_t>* out) {
-  auto cit = h->cache.find(token);
-  if (cit != h->cache.end()) {
-    out->insert(out->end(), cit->second.begin(), cit->second.end());
-    return;
+  {
+    std::lock_guard<std::mutex> lock(h->cache_mu);
+    auto cit = h->cache.find(token);
+    if (cit != h->cache.end()) {
+      out->insert(out->end(), cit->second.begin(), cit->second.end());
+      return;
+    }
   }
   std::vector<int32_t> word = start_syms;
   while (word.size() > 1) {
@@ -183,7 +191,10 @@ void bpe_word(Bpe* h, const std::string& token,
     auto it = h->vocab.find(h->sym[s]);
     if (it != h->vocab.end()) ids.push_back(it->second);
   }
-  h->cache.emplace(token, ids);
+  {
+    std::lock_guard<std::mutex> lock(h->cache_mu);
+    h->cache.emplace(token, ids);
+  }
   out->insert(out->end(), ids.begin(), ids.end());
 }
 

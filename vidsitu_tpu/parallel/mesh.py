@@ -50,6 +50,27 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def maybe_shard_jit(fn, mesh: Mesh = None):
+    """jit a (replicated_tree, batch) -> out fn; with a populated mesh the
+    batch is sharded on the data axis (params replicated), otherwise a
+    plain jit. The single home of the eval-path sharding policy."""
+    if mesh is None or int(mesh.devices.size) <= 1:
+        return jax.jit(fn)
+    return jax.jit(
+        fn, in_shardings=(replicated(mesh), data_sharded(mesh))
+    )
+
+
+def to_device(batch: Dict[str, np.ndarray], mesh: Mesh = None):
+    """Host batch -> device arrays, data-sharded when a populated mesh is
+    given."""
+    import jax.numpy as jnp
+
+    if mesh is not None and int(mesh.devices.size) > 1:
+        return shard_batch(batch, mesh)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
 def prefetch_to_device(batches, mesh: Mesh, lookahead: int = 1):
     """Iterate host batches with their device transfer started
     ``lookahead`` steps early (device_put is async), overlapping

@@ -8,10 +8,14 @@ utils/trn_utils.py:708-724):
   byte-compatible with checkpoints written since round 1.
 * ``orbax``: an orbax-checkpoint directory written with an async
   checkpointer (the save returns immediately; the Learner waits before
-  the next save and on shutdown), plus a ``meta.json`` sidecar for the
-  scalar metadata. Tree structure is flattened through
-  ``flax.serialization.to_state_dict`` so optimizer namedtuples restore
-  via ``from_state_dict`` against the live optimizer's structure.
+  the next save and on shutdown). Scalar metadata rides INSIDE the orbax
+  tree as arrays so it commits atomically with the params (a crash
+  cannot pair new metadata with old weights); ``cfgtxt`` goes to an
+  informational ``meta.json`` sidecar. Tree structure is flattened
+  through ``flax.serialization.to_state_dict`` so optimizer namedtuples
+  restore via ``from_state_dict`` against the live optimizer's
+  structure. Orbax saves are COLLECTIVE across JAX processes
+  (``collective = True``) — every rank must call save/load.
 
 Select with ``cfg.train.ckpt_backend``.
 """
@@ -30,6 +34,7 @@ class PickleBackend:
     """Reference-compatible single-file payload."""
 
     name = "pickle"
+    collective = False  # rank-0 writes alone
 
     def save(self, path, params, extra, opt_state, meta: Dict[str, Any]):
         payload = dict(meta)
@@ -81,10 +86,50 @@ class PickleBackend:
         pass
 
 
+def _meta_to_arrays(meta: Dict[str, Any]) -> Dict[str, Any]:
+    """Scalar metadata -> numpy arrays that can live inside the orbax
+    tree (atomic with the weights). None floats become NaN."""
+    import numpy as np
+
+    sched = meta.get("scheduler_state_dict") or {}
+
+    def fnan(v):
+        return np.float64(np.nan if v is None else v)
+
+    return {
+        "num_it": np.int64(meta.get("num_it", 0)),
+        "num_epoch": np.int64(meta.get("num_epoch", 0)),
+        "best_met": fnan(meta.get("best_met")),
+        "plateau_wait": np.int64(sched.get("plateau_wait", 0)),
+        "lr": fnan(sched.get("lr")),
+        "rng": np.asarray(meta.get("rng", [0, 0]), np.uint32),
+    }
+
+
+def _meta_from_arrays(arrs: Dict[str, Any]) -> Dict[str, Any]:
+    import numpy as np
+
+    def unnan(v):
+        v = float(v)
+        return None if np.isnan(v) else v
+
+    return {
+        "num_it": int(arrs["num_it"]),
+        "num_epoch": int(arrs["num_epoch"]),
+        "best_met": unnan(arrs["best_met"]),
+        "scheduler_state_dict": {
+            "plateau_wait": int(arrs["plateau_wait"]),
+            "lr": unnan(arrs["lr"]),
+        },
+        "rng": [int(x) for x in list(arrs["rng"])],
+    }
+
+
 class OrbaxBackend:
-    """Async orbax directory checkpoints + meta.json sidecar."""
+    """Async orbax directory checkpoints; metadata inside the tree."""
 
     name = "orbax"
+    collective = True  # orbax save/restore synchronize across processes
 
     def __init__(self):
         import orbax.checkpoint as ocp
@@ -101,23 +146,27 @@ class OrbaxBackend:
         tree = {
             "params": serialization.to_state_dict(params),
             "extra": serialization.to_state_dict(extra) or {},
+            "meta": _meta_to_arrays(meta),
         }
         if opt_state is not None:
             tree["opt"] = serialization.to_state_dict(opt_state)
         self._ckptr.save(d / "tree", tree, force=True)
-        # sidecar AFTER kicking the async save; tiny, written sync
+        # informational sidecar only (cfgtxt); resume state lives in the
+        # tree so it commits atomically with the weights
         with open(d.parent / (d.name + ".meta.json"), "w") as f:
-            json.dump(meta, f)
+            json.dump({"cfgtxt": meta.get("cfgtxt", "")}, f)
 
     def load(self, path) -> Optional[Dict[str, Any]]:
         d = self._dir(path)
-        meta_p = d.parent / (d.name + ".meta.json")
-        if not (d / "tree").exists() or not meta_p.exists():
+        if not (d / "tree").exists():
             return None
         self.wait()
         raw = self._ckptr.restore(d / "tree")
-        with open(meta_p) as f:
-            meta = json.load(f)
+        meta = _meta_from_arrays(raw["meta"])
+        meta_p = d.parent / (d.name + ".meta.json")
+        if meta_p.exists():
+            with open(meta_p) as f:
+                meta.update(json.load(f))
         return {"raw": raw, "meta": meta}
 
     def restore_params(self, target, loaded):

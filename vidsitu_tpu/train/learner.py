@@ -304,7 +304,6 @@ class Learner:
         st_time = time.time()
         tracker = Tracker(self.cfg, self.uid)
         tracker.log_params(_CP.cfg_to_flat_dct(self.cfg))
-        last_met = None
         try:
             for _ep in range(epochs):
                 ep_start = time.time()
@@ -312,7 +311,6 @@ class Learner:
                 val_loss, val_acc, _ = self.validate()
                 self.num_epoch += 1
                 met0 = float(val_acc[met_keys[0]])
-                last_met = met0
                 improved = self.best_met is None or met0 >= self.best_met
                 if improved:
                     self.best_met = met0
@@ -350,15 +348,13 @@ class Learner:
                     self.num_epoch, time.time() - ep_start, row,
                 )
         except Exception as e:
-            # reference logs, then saves the final model if its last metric
-            # beats the stored best (trn_utils.py:851-867)
+            # reference logs on exception, then re-checks best-vs-last in a
+            # finally block (trn_utils.py:851-867); here that re-check is
+            # subsumed: every improving epoch saves IMMEDIATELY after its
+            # validation, so at any exception the best model is already on
+            # disk — nothing additional to save
             self.update_log_file(f"exited due to exception {e!r}")
             self.update_log_file(f"elapsed {time.time() - st_time:.1f}s")
-            if last_met is not None and (
-                self.best_met is None or last_met > self.best_met
-            ):
-                self.best_met = last_met
-                self.save_model_dict()
             tracker.end_run()
             self.ckpt_backend.wait()
             raise
@@ -386,7 +382,11 @@ class Learner:
 
     # -- checkpointing (trn_utils.py:631-749) ---------------------------------------
     def save_model_dict(self, path: Optional[Path] = None):
-        if jax.process_index() != 0:  # rank-0-only side effect
+        # pickle saves are a rank-0-only side effect (ref
+        # exec_func_if_main_proc); orbax saves are COLLECTIVE across JAX
+        # processes — every rank must participate or rank 0 deadlocks at
+        # the cross-process commit barrier
+        if not self.ckpt_backend.collective and jax.process_index() != 0:
             return
         path = Path(path) if path else self.model_file
         meta = {
