@@ -45,8 +45,16 @@ def extract_features(
     splits: Optional[List[str]] = None,
     out_dir: Optional[str] = None,
     batch_size: int = 4,
+    num_threads: int = 0,
 ) -> Dict[str, int]:
-    """Extract features for the given splits. Returns counts per split."""
+    """Extract features for the given splits. Returns counts per split.
+
+    The input pipeline overlaps with device compute: JPEG decode runs in
+    the loader's thread pool (``num_threads``), the next batch's
+    host->device transfer is started while the current batch computes,
+    and the previous batch's features are written to disk while the
+    device works (dispatch is async, the np.asarray fetch synchronizes).
+    """
     splits = splits or ["valid", "train"]
     out_dir = Path(out_dir or cfg.ds.vsitu.vsitu_frm_feats)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -57,17 +65,29 @@ def extract_features(
     for split in splits:
         ds = FramesOnlyDS(cfg, comm, split)
         dl = DataLoader(ds, batch_size=batch_size, shuffle=False,
-                        drop_last=False)
+                        drop_last=False, num_threads=num_threads)
         n = 0
+        pending = None  # (device feats, host vseg_idx) one step behind
+
+        def flush(item):
+            nonlocal n
+            feats, idxs = item
+            feats = np.asarray(feats)  # sync point
+            for bix in range(feats.shape[0]):
+                seg = ds.vseg_lst[int(idxs[bix])]
+                np.save(out_dir / f"{seg}_feats.npy", feats[bix])
+                n += 1
+
         for batch in dl:
             if variables is None:
                 variables = init_model_variables(model, batch)
             dev = {k: jnp.asarray(v) for k, v in batch.items()}
-            feats = np.asarray(fwd(variables, dev))
-            for bix in range(feats.shape[0]):
-                seg = ds.vseg_lst[int(batch["vseg_idx"][bix])]
-                np.save(out_dir / f"{seg}_feats.npy", feats[bix])
-                n += 1
+            out = fwd(variables, dev)  # async dispatch
+            if pending is not None:
+                flush(pending)
+            pending = (out, batch["vseg_idx"])
+        if pending is not None:
+            flush(pending)
         counts[split] = n
     return counts
 
@@ -87,6 +107,8 @@ def main(argv=None):
     ap.add_argument("--split", action="append", default=None)
     ap.add_argument("--out_dir", default=None)
     ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--num_threads", type=int, default=8,
+                    help="JPEG-decode thread pool size")
     ap.add_argument("--ckpt", default="", help="converted SFBase checkpoint")
     ap.add_argument("overrides", nargs="*", help="--dotted.key=value")
     args, unknown = ap.parse_known_args(argv)
@@ -116,6 +138,7 @@ def main(argv=None):
         cfg, comm, variables=variables,
         splits=args.split or ["valid", "train"],
         out_dir=args.out_dir, batch_size=args.batch_size,
+        num_threads=args.num_threads,
     )
     print(counts)
 
