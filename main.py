@@ -120,12 +120,21 @@ def main_fn(cfg, uid: str):
 def main(argv=None):
     from vidsitu_tpu.utils.config import CfgProcessor
 
-    # Multi-host: set VIDSITU_DISTRIBUTED=1 (plus the standard JAX
-    # coordinator env) to join the jax.distributed cluster — the DCN
-    # rendezvous replacing the reference's tcp://localhost:9997 NCCL init
-    # (trn_dist_utils.py:5-42).
+    # Multi-host: set VIDSITU_DISTRIBUTED=1 to join the jax.distributed
+    # cluster — the DCN rendezvous replacing the reference's
+    # tcp://localhost:9997 NCCL init (trn_dist_utils.py:5-42). On detected
+    # clusters (TPU pods, SLURM) no further env is needed; for manual
+    # launches set VIDSITU_COORD=host:port, VIDSITU_NPROCS, and
+    # VIDSITU_PROC_ID per process.
     if os.environ.get("VIDSITU_DISTRIBUTED") == "1":
-        jax.distributed.initialize()
+        if os.environ.get("VIDSITU_COORD"):
+            jax.distributed.initialize(
+                coordinator_address=os.environ["VIDSITU_COORD"],
+                num_processes=int(os.environ["VIDSITU_NPROCS"]),
+                process_id=int(os.environ["VIDSITU_PROC_ID"]),
+            )
+        else:
+            jax.distributed.initialize()
 
     uid, overrides = parse_cli(argv if argv is not None else sys.argv[1:])
     cp = CfgProcessor()

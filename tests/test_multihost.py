@@ -1,0 +1,101 @@
+"""True multi-process (2-host) end-to-end test on CPU.
+
+The TPU analog of multi-node testing without a cluster, one level beyond
+the 8-virtual-device mesh (SURVEY.md §4d): two OS processes join a
+jax.distributed cluster (gloo collectives), each loads its
+DistributedSampler-style shard, trains the mesh-sharded step over the
+GLOBAL 4-device mesh, and validation merges per-rank prediction pickles
+on rank 0 — the reference's DDP + per-rank-pkl flow (main_dist.py:160,
+evl_vsitu.py:99-115) reproduced process-for-process.
+"""
+
+import os
+import pickle
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from vidsitu_tpu.data.synth import make_synth_dataset
+
+pytestmark = pytest.mark.slow
+
+REPO = Path(__file__).resolve().parent.parent
+
+TINY_TX = [
+    "--tx_dec.decoder_embed_dim=48",
+    "--tx_dec.decoder_ffn_embed_dim=96",
+    "--tx_dec.decoder_layers=1",
+    "--tx_dec.decoder_attention_heads=2",
+    "--tx_dec.encoder_embed_dim=48",
+    "--tx_dec.encoder_ffn_embed_dim=96",
+    "--tx_dec.encoder_layers=1",
+    "--tx_dec.encoder_attention_heads=2",
+]
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_train_and_merged_eval(tmp_path):
+    paths = make_synth_dataset(tmp_path, n_train=8, n_valid=4, seed=77)
+    args = [f"--{k}={v}" for k, v in paths.items()]
+    cmd = [
+        sys.executable, "main.py", "mh", "--task_type=vb_arg",
+        "--mdl.mdl_name=tx_only", "--train.bs=4", "--train.bsv=4",
+        "--train.epochs=1", "--train.nw=0", "--train.nwv=0",
+        "--gen.max_len_b=20", "--run_final_val=False",
+        f"--misc.tmp_path={tmp_path}/tmp",
+    ] + TINY_TX + args
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            {
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+                "VIDSITU_DISTRIBUTED": "1",
+                "VIDSITU_COORD": f"127.0.0.1:{port}",
+                "VIDSITU_NPROCS": "2",
+                "VIDSITU_PROC_ID": str(pid),
+                "PYTHONPATH": str(REPO) + os.pathsep + env_get_pp(),
+            }
+        )
+        procs.append(
+            subprocess.Popen(
+                cmd, cwd=str(REPO), env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append((p.returncode, out))
+    for i, (rc, out) in enumerate(outs):
+        assert rc == 0, f"proc {i} failed:\n{out[-4000:]}"
+
+    # both ranks see the same (replicated, psum'd) training loss
+    def epoch_loss(out):
+        ln = next(
+            ln for ln in out.splitlines() if "epoch 1 done" in ln
+        )
+        return float(ln.split("done in")[1].split(":", 1)[1].split()[0])
+
+    assert abs(epoch_loss(outs[0][1]) - epoch_loss(outs[1][1])) < 1e-4
+
+    # rank 0 merged every validation item into one leaderboard pkl
+    pkl = tmp_path / "tmp" / "predictions" / "mh" / "valid_0.pkl"
+    assert pkl.exists()
+    preds = pickle.load(open(pkl, "rb"))
+    assert sorted({p["ann_idx"] for p in preds}) == [0, 1, 2, 3]
+
+
+def env_get_pp():
+    return os.environ.get("PYTHONPATH", "")

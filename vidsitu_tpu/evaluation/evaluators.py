@@ -137,16 +137,34 @@ class _BaseEvaluator:
         nums: List[int] = []
         bsv = dl.batch_size
         if self.mesh is not None:
-            ndev = int(self.mesh.devices.size)
-            assert bsv % ndev == 0, (
-                f"eval batch {bsv} must divide the {ndev}-device mesh"
+            import jax as _jax_
+
+            local_dev = int(self.mesh.devices.size) // _jax_.process_count()
+            assert bsv % max(local_dev, 1) == 0, (
+                f"eval batch {bsv} must divide the {local_dev} local devices"
             )
+        import jax as _jax
+
+        multiproc = _jax.process_count() > 1
         for batch in dl:
             n_real = next(iter(batch.values())).shape[0]
             padded = pad_batch_to(batch, bsv)
             dev_batch = self._to_device(padded)
             out = self.run_model(variables, dev_batch)
-            results += self.decode_batch(out, padded["vseg_idx"])
+            if multiproc:
+                # outputs are replicated (maybe_shard_jit) and cover the
+                # GLOBAL batch; rank 0 decodes everything against the
+                # all-gathered annotation ids, other ranks contribute
+                # empty shards to the merge
+                from jax.experimental import multihost_utils as _mhu
+
+                global_idx = np.asarray(
+                    _mhu.process_allgather(np.asarray(padded["vseg_idx"]))
+                ).reshape(-1)
+                if self.rank == 0:
+                    results += self.decode_batch(out, global_idx)
+            else:
+                results += self.decode_batch(out, padded["vseg_idx"])
             if self.compute_loss:
                 losses.append(self.run_loss(variables, dev_batch))
                 nums.append(n_real)

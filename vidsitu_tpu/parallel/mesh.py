@@ -40,8 +40,20 @@ def data_sharded(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
-    """Host numpy batch -> device arrays sharded along the data axis."""
+    """Host batch -> device arrays sharded along the data axis.
+
+    Single process: a plain sharded device_put. Multi-process: each host
+    holds only ITS loader shard of the global batch, so the global array
+    is assembled from process-local data (the jax analog of
+    DistributedSampler feeding DDP ranks)."""
     sh = data_sharded(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
@@ -50,14 +62,44 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def globalize_replicated(tree: Any, mesh: Mesh) -> Any:
+    """Make every leaf a REPLICATED global array across all processes.
+
+    Multi-process jit with replicated in_shardings cannot consume
+    host-local arrays; each process holds an identical full copy (same
+    init seed / same restored checkpoint), which
+    host_local_array_to_global_array with P() lifts to one global
+    replicated array. Leaves that are already global pass through.
+    Single-process: identity."""
+    if jax.process_count() <= 1:
+        return tree
+    from jax.experimental import multihost_utils as mhu
+
+    def lift(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x
+        return mhu.host_local_array_to_global_array(
+            np.asarray(x), mesh, P()
+        )
+
+    return jax.tree.map(lift, tree)
+
+
 def maybe_shard_jit(fn, mesh: Mesh = None):
     """jit a (replicated_tree, batch) -> out fn; with a populated mesh the
     batch is sharded on the data axis (params replicated), otherwise a
-    plain jit. The single home of the eval-path sharding policy."""
+    plain jit. The single home of the eval-path sharding policy.
+
+    Multi-process: outputs are additionally replicated so every host can
+    read them with np.asarray (a sharded global array is not fully
+    addressable from one host)."""
     if mesh is None or int(mesh.devices.size) <= 1:
         return jax.jit(fn)
+    kwargs = {}
+    if jax.process_count() > 1:
+        kwargs["out_shardings"] = replicated(mesh)
     return jax.jit(
-        fn, in_shardings=(replicated(mesh), data_sharded(mesh))
+        fn, in_shardings=(replicated(mesh), data_sharded(mesh)), **kwargs
     )
 
 

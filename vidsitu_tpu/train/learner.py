@@ -28,6 +28,7 @@ import optax
 
 from ..parallel.mesh import (
     data_sharded,
+    globalize_replicated,
     make_mesh,
     prefetch_to_device,
     replicated,
@@ -95,10 +96,13 @@ class Learner:
         from .pretrained import make_freeze_mask
 
         self._grad_mask = make_freeze_mask(cfg, self.variables["params"])
-        ndev = int(self.mesh.devices.size)
-        assert data.train_dl.batch_size % ndev == 0, (
+        # each process's loader shard must split over its LOCAL devices
+        # (the global batch = per-process batch x process_count splits over
+        # the global mesh)
+        local_dev = int(self.mesh.devices.size) // jax.process_count()
+        assert data.train_dl.batch_size % max(local_dev, 1) == 0, (
             f"per-process batch {data.train_dl.batch_size} must be divisible "
-            f"by the {ndev}-device data mesh"
+            f"by the {local_dev} local devices of the data mesh"
         )
         self.init_log_dirs()
         self.prepare_log_file()
@@ -236,6 +240,17 @@ class Learner:
         extra = {k: v for k, v in self.variables.items() if k != "params"}
         return params, extra
 
+    def _ensure_global(self):
+        """Multi-process: lift host-local variables/opt_state to global
+        replicated arrays before they enter a mesh-sharded jit."""
+        import jax as _jax
+
+        if _jax.process_count() <= 1:
+            return
+        self.variables = globalize_replicated(self.variables, self.mesh)
+        if self.opt_state is not None:
+            self.opt_state = globalize_replicated(self.opt_state, self.mesh)
+
     # -- training loop (trn_utils.py:583-628,788-867) ------------------------------
     def train_epoch(self, train_step, smoother: SmoothenDict) -> Dict[str, float]:
         dl = self.data.train_dl
@@ -278,6 +293,7 @@ class Learner:
         return {"loss": float(np.mean(losses)) if losses else float("nan")}
 
     def validate(self, db: Optional[Dict] = None, write_to_file: bool = False):
+        self._ensure_global()
         if db is None:
             db = {self.cfg.val_dl_name: self.data.valid_dl}
         out_loss, out_acc = {}, {}
@@ -296,6 +312,7 @@ class Learner:
         from ..utils.config import CfgProcessor as _CP
 
         self.prepare_optimizer(lr)
+        self._ensure_global()
         train_step = self._build_train_step()
         smoother = SmoothenDict(self.loss_keys)
         met_keys = self.eval_fn.met_keys
@@ -366,6 +383,7 @@ class Learner:
     def overfit_batch(self, epochs: int, lr: float):
         """Single-batch convergence sanity (trn_utils.py:915-939)."""
         self.prepare_optimizer(lr)
+        self._ensure_global()
         train_step = self._build_train_step()
         batch = shard_batch(next(iter(self.data.train_dl)), self.mesh)
         params, extra = self._split_vars()
