@@ -329,3 +329,48 @@ def test_eval_sharded_equals_single_device(env, tmp_path):
     for k in a1:
         np.testing.assert_allclose(a1[k], a8[k], rtol=1e-6)
     np.testing.assert_allclose(l1["loss"], l8["loss"], rtol=1e-5)
+
+
+def test_fsdp_equals_single_device(env):
+    """(2 data x 4 fsdp) mesh training == single-device training: the
+    ZeRO-3-style param/moment sharding must be numerically transparent."""
+    upd = {}
+    for name, (shape, axes, ndev) in (
+        ("fsdp", ([2, -1], ["data", "fsdp"], 8)),
+        ("single", ([-1], ["data"], 1)),
+    ):
+        cfg = mk(
+            env, f"fsdp_{name}",
+            **{"tpu.mesh_shape": shape, "tpu.mesh_axis_names": axes},
+        )
+        from vidsitu_tpu.parallel.mesh import make_mesh
+
+        mesh = (
+            make_mesh(cfg)
+            if ndev > 1
+            else Mesh(np.asarray(jax.devices()[:1]), ("data",))
+        )
+        learner = _make_learner(cfg, mesh=mesh)
+        learner.overfit_batch(epochs=2, lr=1e-3)
+        upd[name] = jax.tree.leaves(learner.variables["params"])
+    for a, b in zip(upd["fsdp"], upd["single"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
+def test_param_shardings_rule():
+    from jax.sharding import PartitionSpec as P
+
+    from vidsitu_tpu.parallel.mesh import make_mesh, param_shardings
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "fsdp"))
+    tree = {
+        "w": np.zeros((12, 8)),     # 8 % 4 == 0, 12 % 4 == 0 -> largest=12
+        "b": np.zeros((6,)),        # not divisible -> replicated
+        "scalar": np.zeros(()),     # replicated
+        "emb": np.zeros((16, 6)),   # 16 divisible -> dim 0
+    }
+    sh = param_shardings(mesh, tree)
+    assert sh["w"].spec == P("fsdp", None)
+    assert sh["b"].spec == P()
+    assert sh["scalar"].spec == P()
+    assert sh["emb"].spec == P("fsdp", None)

@@ -62,6 +62,38 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
+def param_shardings(mesh: Mesh, tree: Any, axis: str = "fsdp") -> Any:
+    """Per-leaf parameter shardings for ZeRO-3-style FSDP.
+
+    With an ``fsdp`` axis in the mesh (cfg.tpu.mesh_shape [-1, N] +
+    mesh_axis_names ['data','fsdp']), each parameter (and its optimizer
+    moments, which share shapes) is sharded along its largest
+    axis-divisible dimension; XLA inserts the all-gathers before use and
+    reduce-scatters on the gradients. Leaves with no divisible dimension
+    and scalars stay replicated. Without the axis this is all-replicated
+    (plain DP).
+    """
+    if axis not in mesh.axis_names or int(mesh.shape[axis]) <= 1:
+        repl = replicated(mesh)
+        return jax.tree.map(lambda _: repl, tree)
+    n = int(mesh.shape[axis])
+    repl = replicated(mesh)
+
+    def rule(x):
+        shape = getattr(x, "shape", ())
+        best_s, best_d = 0, -1
+        for d, s in enumerate(shape):
+            if s % n == 0 and s > best_s:
+                best_s, best_d = s, d
+        if best_d < 0 or best_s < n:
+            return repl
+        spec = [None] * len(shape)
+        spec[best_d] = axis
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(rule, tree)
+
+
 def globalize_replicated(tree: Any, mesh: Mesh) -> Any:
     """Make every leaf a REPLICATED global array across all processes.
 

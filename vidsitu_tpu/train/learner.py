@@ -194,6 +194,14 @@ class Learner:
         optimizer = self.optimizer
         repl = replicated(self.mesh)
         datash = data_sharded(self.mesh)
+        # ZeRO-3-style FSDP when the mesh has an 'fsdp' axis
+        # (cfg.tpu.mesh_shape [-1, N] + mesh_axis_names ['data','fsdp']):
+        # params + Adam moments sharded per param_shardings, XLA inserts
+        # the all-gather/reduce-scatter pattern
+        from ..parallel.mesh import param_shardings
+
+        p_sh = param_shardings(self.mesh, self.variables["params"])
+        opt_sh = param_shardings(self.mesh, self.opt_state)
         # non-param collections (e.g. BatchNorm batch_stats) are threaded
         # through the step and updated mutably
         extra_cols = [k for k in self.variables if k != "params"]
@@ -231,8 +239,8 @@ class Learner:
 
         return jax.jit(
             train_step,
-            in_shardings=(repl, repl, repl, datash, repl),
-            out_shardings=(repl, repl, repl, repl),
+            in_shardings=(p_sh, repl, opt_sh, datash, repl),
+            out_shardings=(p_sh, repl, opt_sh, repl),
         )
 
     def _split_vars(self):
