@@ -237,10 +237,14 @@ class Learner:
             params = optax.apply_updates(params, updates)
             return params, new_extra, opt_state, loss
 
+        # donate params/extra/opt_state: they are consumed and re-emitted
+        # every step, so XLA can update in place instead of double-buffering
+        # the whole optimizer state in HBM
         return jax.jit(
             train_step,
             in_shardings=(p_sh, repl, opt_sh, datash, repl),
             out_shardings=(p_sh, repl, opt_sh, repl),
+            donate_argnums=(0, 1, 2),
         )
 
     def _split_vars(self):
