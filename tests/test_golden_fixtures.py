@@ -157,3 +157,42 @@ def test_vbarg_pred_schema_matches_golden(synth30):
         assert set(dct.keys()) <= our_args, (evk, set(dct.keys()) - our_args)
     for evk, dct in ours["vb_output"].items():
         assert isinstance(dct.get("vb_id", ""), str)
+
+
+# ---------------------------------------------------------------------------
+# leaderboard test-split scoring (get_fname_key paths, reference CLI contract)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def synth_test30(tmp_path_factory):
+    root = tmp_path_factory.mktemp("golden_test_gt")
+    paths = make_synth_dataset(
+        root, n_train=4, n_valid=4, n_test=30, seed=12
+    )
+    return paths, root
+
+
+@pytest.mark.parametrize(
+    "task,pred,split,keys",
+    [
+        ("vb", "vb_eg.pkl", "test_verb", ("Per_Ev_Top_1",)),
+        ("vb_arg", "vbarg_eg.pkl", "test_srl", ("cider", "lea")),
+        ("evrel", "evrel_eg.pkl", "test_evrel", ("Top_1",)),
+    ],
+)
+def test_golden_scores_on_test_splits(synth_test30, task, pred, split, keys):
+    """The offline CLI scores leaderboard test splits via get_fname_key
+    (reference evl_fns.py main)."""
+    paths, root = synth_test30
+    out = evaluate_predictions(
+        pred_file=str(GOLDEN / pred),
+        task_type=task,
+        split_file_path=paths[f"ds.vsitu.split_files_lb.{split}"],
+        vinfo_file_path=paths[f"ds.vsitu.vinfo_files_lb.{split}"],
+        vsitu_ann_file_path=paths[f"ds.vsitu.vsitu_ann_files_lb.{split}"],
+        split_type=split,
+        out_file=str(root / f"res_{task}.json"),
+    )
+    for k in keys:
+        assert k in out and np.isfinite(out[k]), (k, out)
