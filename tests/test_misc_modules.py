@@ -126,12 +126,15 @@ def test_packed_stem_conv_matches_plain_conv():
     from vidsitu_tpu.models.video_backbone import _PackedStemConv
 
     rng = jax.random.PRNGKey(0)
-    for (shape, f, kt) in (
-        ((2, 4, 32, 32, 3), 8, 5),
-        ((1, 2, 64, 64, 3), 8, 1),
+    for (shape, f, kt, g) in (
+        ((2, 4, 32, 32, 3), 8, 5, 4),
+        ((1, 2, 64, 64, 3), 8, 1, 4),
+        ((2, 8, 32, 32, 3), 8, 5, (4, 2, 2)),  # temporal-packed fast stem
+        ((2, 4, 32, 32, 3), 8, 3, (2, 2, 2)),
+        ((1, 4, 32, 32, 3), 64, 1, (1, 1, 2)),  # slow-stem geometry
     ):
         x = jax.random.normal(rng, shape, jnp.float32)
-        packed = _PackedStemConv(f, (kt, 7, 7), g=4)
+        packed = _PackedStemConv(f, (kt, 7, 7), g=g)
         v = packed.init(jax.random.PRNGKey(1), x)
         yp = packed.apply(v, x)
         ref = nn.Conv(

@@ -102,18 +102,22 @@ class VideoCfg:
 
 
 class _PackedStemConv(nn.Module):
-    """Output-packed stride-2 spatial conv for tiny C_out (the fast stem).
+    """Output-packed stride-2 spatial conv for tiny C_out (the stems).
 
-    A (kt,7,7) stride-2 conv to 8 channels runs the 128-lane MXU at <10%
-    (measured 39ms for the fast stem at 120 clips on v5e). Packing a
-    g x g block of output positions into the channel dim re-expresses it
-    as ONE plain conv with kernel (kt, 7+2(g-1), 7+2(g-1)), stride 2g and
-    C_out = g*g*F, whose weights are a zero-padded rearrangement of the
-    canonical kernel:
+    A (kt,7,7) stride-(1,2,2) conv to 8 channels runs the 128-lane MXU at
+    <10% (measured 39ms for the fast stem at 120 clips on v5e). Packing a
+    gt x gh x gw block of output positions (temporal x spatial) into the
+    channel dim re-expresses it as ONE plain conv with kernel
+    (kt+gt-1, kh+2(gh-1), kw+2(gw-1)), strides (gt, 2gh, 2gw) and
+    C_out = gt*gh*gw*F, whose weights are a zero-padded rearrangement of
+    the canonical kernel:
 
-        Wp[kt, kh', kw', ci, (dh*g+dw)*F+f] = W[kt, kh'-2dh, kw'-2dw, ci, f]
+        Wp[t+dt, h+2dh, w+2dw, ci, ((dt*gh+dh)*gw+dw)*F+f] = W[t,h,w,ci,f]
 
-    followed by a free depth-to-space unpack (measured 24ms — 1.64x).
+    followed by a free depth-to-space unpack. Packing redundancy is
+    (kt+gt-1)(kh+2gh-2)(kw+2gw-2) / (gt*gh*gw*kt*kh*kw); for the
+    SlowFast fast stem, g=(4,2,2) gives R=2.64 vs the round-2 spatial
+    g=(1,4,4)'s 3.45 (measured 18.3 vs 23.0 ms at 120 clips on v5e).
     The parameter keeps the canonical nn.Conv layout ("kernel",
     (kt,kh,kw,Cin,F)) so checkpoints and converters are unchanged; the
     rearrangement is linear, so autodiff trains through it.
@@ -121,7 +125,7 @@ class _PackedStemConv(nn.Module):
 
     features: int
     kernel: Tuple[int, int, int]
-    g: int = 4
+    g: Any = 4  # int g == (1, g, g); or explicit (gt, gh, gw)
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -129,42 +133,54 @@ class _PackedStemConv(nn.Module):
     def __call__(self, x):
         kt, kh, kw = self.kernel
         f = self.features
-        g = self.g
+        gt, gh, gw = (
+            (1, self.g, self.g) if isinstance(self.g, int) else self.g
+        )
         w = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
             (kt, kh, kw, x.shape[-1], f),
             self.param_dtype,
         ).astype(self.dtype)
-        khp, kwp = kh + 2 * (g - 1), kw + 2 * (g - 1)
-        wp = jnp.zeros((kt, khp, kwp, x.shape[-1], g * g * f), self.dtype)
-        for dh in range(g):
-            for dw in range(g):
-                cix = (dh * g + dw) * f
-                wp = wp.at[
-                    :, 2 * dh : 2 * dh + kh, 2 * dw : 2 * dw + kw, :,
-                    cix : cix + f,
-                ].set(w)
+        ktp = kt + gt - 1
+        khp, kwp = kh + 2 * (gh - 1), kw + 2 * (gw - 1)
+        wp = jnp.zeros(
+            (ktp, khp, kwp, x.shape[-1], gt * gh * gw * f), self.dtype
+        )
+        for dt in range(gt):
+            for dh in range(gh):
+                for dw in range(gw):
+                    cix = ((dt * gh + dh) * gw + dw) * f
+                    wp = wp.at[
+                        dt : dt + kt,
+                        2 * dh : 2 * dh + kh,
+                        2 * dw : 2 * dw + kw,
+                        :,
+                        cix : cix + f,
+                    ].set(w)
         n, t, h, win, ci = x.shape
         h_out, w_out = h // 2, win // 2
-        # explicit padding reproduces the original SAME-for-stride-2 reads:
-        # out[4m+dh] = sum_kh x[8m + (kh+2dh) - kh//2]
-        pad_l = kh // 2
-        span = 8 * (h_out // g - 1) + khp
-        pad_r = max(span - pad_l - h, 0)
+        # explicit padding reproduces the original SAME reads: packed
+        # position m covers output rows gh*m+dh, each reading input rows
+        # [2(gh*m+dh) - kh//2, ... + kh//2]
+        pad_t = kt // 2
+        pad_tr = max(gt * (t // gt - 1) + ktp - pad_t - t, 0)
+        pad_h = kh // 2
+        pad_hr = max(2 * gh * (h_out // gh - 1) + khp - pad_h - h, 0)
+        pad_w = kw // 2
+        pad_wr = max(2 * gw * (w_out // gw - 1) + kwp - pad_w - win, 0)
         # no preferred_element_type: match nn.Conv's dtype semantics so the
         # conv transpose (backward) sees uniform dtypes
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), wp,
-            window_strides=(1, 2 * g, 2 * g),
-            padding=(
-                (kt // 2, kt // 2), (pad_l, pad_r), (pad_l, pad_r)
-            ),
+            window_strides=(gt, 2 * gh, 2 * gw),
+            padding=((pad_t, pad_tr), (pad_h, pad_hr), (pad_w, pad_wr)),
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         )
-        # depth-to-space unpack: (n,t,h/2g,w/2g,g*g*F) -> (n,t,h/2,w/2,F)
-        y = y.reshape(n, t, h_out // g, w_out // g, g, g, f)
-        y = y.transpose(0, 1, 2, 4, 3, 5, 6)
+        # depth-to-space unpack:
+        # (n, t/gt, h/2gh, w/2gw, gt*gh*gw*F) -> (n, t, h/2, w/2, F)
+        y = y.reshape(n, t // gt, h_out // gh, w_out // gw, gt, gh, gw, f)
+        y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
         return y.reshape(n, t, h_out, w_out, f)
 
 
@@ -182,17 +198,27 @@ class ConvBN(nn.Module):
     def __call__(self, x, train: bool = False):
         c = self.cfg
         kt, kh, kw = self.kernel
-        h, w_in = x.shape[2], x.shape[3]
-        use_packed = (
-            self.strides == (1, 2, 2)  # _PackedStemConv hardcodes T-stride 1
-            and self.features * 16 <= 128
-            and kh == kw == 7
-            and h % 8 == 0  # even input AND 4-divisible output rows
-            and w_in % 8 == 0
-        )
-        if use_packed:
+        t, h, w_in = x.shape[1], x.shape[2], x.shape[3]
+        # pick the packing that fills the 128 MXU lanes with the least
+        # redundancy (see _PackedStemConv): temporal-first (4,2,2) for the
+        # F=8 fast stem (R=2.64), spatial (1,4,4) fallback (R=3.45)
+        g = None
+        if self.strides == (1, 2, 2) and kh == kw == 7:
+            if (
+                self.features * 16 <= 128
+                and t % 4 == 0
+                and h % 4 == 0  # even input AND 2-divisible output rows
+                and w_in % 4 == 0
+            ):
+                g = (4, 2, 2)
+            elif self.features * 16 <= 128 and h % 8 == 0 and w_in % 8 == 0:
+                g = (1, 4, 4)
+            # NOT packed: the slow stem (F=64). A (1,1,2) packing (R=1.29)
+            # measures 5.67 vs 6.49 ms in isolation but 641 vs 696 clips/s
+            # in-model — the unpack transpose breaks BN/pool fusion.
+        if g is not None:
             x = _PackedStemConv(
-                self.features, (kt, kh, kw), g=4,
+                self.features, (kt, kh, kw), g=g,
                 dtype=c.dtype, param_dtype=c.param_dtype, name="conv",
             )(x)
         else:

@@ -263,6 +263,16 @@ class Learner:
         if self.opt_state is not None:
             self.opt_state = globalize_replicated(self.opt_state, self.mesh)
 
+    def _own_buffers(self):
+        """Copy caller-provided variables once before training: the jitted
+        train step donates params/extra, which would otherwise delete the
+        arrays the caller still holds (e.g. the ``variables`` passed to
+        ``Learner(...)``). After the first step every buffer is a step
+        output the learner owns, so one copy up front suffices."""
+        self.variables = jax.tree.map(
+            lambda x: x.copy() if hasattr(x, "copy") else x, self.variables
+        )
+
     # -- training loop (trn_utils.py:583-628,788-867) ------------------------------
     def train_epoch(self, train_step, smoother: SmoothenDict) -> Dict[str, float]:
         dl = self.data.train_dl
@@ -325,6 +335,7 @@ class Learner:
 
         self.prepare_optimizer(lr)
         self._ensure_global()
+        self._own_buffers()
         train_step = self._build_train_step()
         smoother = SmoothenDict(self.loss_keys)
         met_keys = self.eval_fn.met_keys
@@ -396,6 +407,7 @@ class Learner:
         """Single-batch convergence sanity (trn_utils.py:915-939)."""
         self.prepare_optimizer(lr)
         self._ensure_global()
+        self._own_buffers()
         train_step = self._build_train_step()
         batch = shard_batch(next(iter(self.data.train_dl)), self.mesh)
         params, extra = self._split_vars()
