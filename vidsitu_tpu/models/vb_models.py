@@ -113,13 +113,26 @@ class VbVideoModel(nn.Module):
         return out
 
 
+def _fuse_flag(cfg):
+    """cfg.tpu.fuse_inference: 'auto' -> None (VideoCfg decides by
+    backend), else 'on'/'off' (the knob is a string so the type-checked
+    CLI override accepts all three)."""
+    v = getattr(cfg.tpu, "fuse_inference", "auto")
+    if isinstance(v, str):
+        v = v.lower()
+        if v == "auto":
+            return None
+        return v in ("on", "true", "1", "yes")
+    return bool(v)
+
+
 def build_vb_model(cfg, comm):
     from .selector import compute_dtypes
 
     dtype, param_dtype = compute_dtypes(cfg)
     vid_cfg = VideoCfg.from_cfg(
         cfg.vid_mdl, dtype=dtype, param_dtype=param_dtype,
-        remat=cfg.train.remat,
+        remat=cfg.train.remat, fuse_inference=_fuse_flag(cfg),
     )
     return VbVideoModel(vid_cfg=vid_cfg, num_classes=len(comm.vb_id_vocab))
 
@@ -130,6 +143,6 @@ def build_feat_extractor(cfg):
     dtype, param_dtype = compute_dtypes(cfg)
     vid_cfg = VideoCfg.from_cfg(
         cfg.vid_mdl, dtype=dtype, param_dtype=param_dtype,
-        remat=cfg.train.remat,
+        remat=cfg.train.remat, fuse_inference=_fuse_flag(cfg),
     )
     return VbVideoModel(vid_cfg=vid_cfg, num_classes=0)
