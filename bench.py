@@ -132,9 +132,10 @@ def bench_srl_train(bs: int = 32, iters: int = 20) -> dict:
     }
 
 
-def bench_srl_decode(bs: int = 16, iters: int = 5) -> dict:
-    """Greedy SRL decode latency (ms per 5-event video), BASELINE.md's
-    'beam decode latency reported alongside'."""
+def bench_srl_decode(bs: int = 16, iters: int = 5, beam: int = 1) -> dict:
+    """SRL decode latency (ms per 5-event video), BASELINE.md's
+    'beam decode latency reported alongside'. beam>1 uses the
+    fairseq-exact 2*beam candidate flow."""
     import jax
     import jax.numpy as jnp
 
@@ -145,6 +146,8 @@ def bench_srl_decode(bs: int = 16, iters: int = 5) -> dict:
     import numpy as np
 
     cfg, model, variables, batch = _setup(bs=bs)
+    if beam != 1:
+        cfg.gen.beam_size = beam
     comm = build_comm(cfg)
     gen_fn = build_srl_generate_fn(cfg, comm, model)
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
@@ -161,8 +164,11 @@ def bench_srl_decode(bs: int = 16, iters: int = 5) -> dict:
     for _ in range(iters):
         np.asarray(gen_fn(variables, dev_batch))
     dt = (time.perf_counter() - t0) / iters - rtt
+    name = "srl_greedy_decode_latency" if beam == 1 else (
+        f"srl_beam{beam}_decode_latency"
+    )
     return {
-        "metric": "srl_greedy_decode_latency",
+        "metric": name,
         "value": round(dt / bs * 1000, 3),
         "unit": "ms/video",
         "vs_baseline": 0.0,
@@ -254,6 +260,8 @@ if __name__ == "__main__":
         print(json.dumps(bench_srl_train()))
     elif which == "decode":
         print(json.dumps(bench_srl_decode()))
+    elif which == "decode5":
+        print(json.dumps(bench_srl_decode(beam=5)))
     elif which == "vbtrain":
         print(json.dumps(bench_vb_train()))
     else:

@@ -104,9 +104,11 @@ def test_grad_accum_matches_full_batch(env):
     batch = next(iter(learner_full.data.train_dl))
     params0 = learner_full.variables["params"]
     rng = jax.random.PRNGKey(0)
+    # the train step donates params: feed it a copy so params0 survives
+    # for the accumulation run below
     p_full, _, _, _ = step_full(
-        params0, {}, learner_full.opt_state,
-        shard_batch(batch, mesh1), rng,
+        jax.tree.map(lambda x: x.copy(), params0), {},
+        learner_full.opt_state, shard_batch(batch, mesh1), rng,
     )
 
     cfg_acc = mk(env, "ga_acc", **{"train.grad_accum": 2})
