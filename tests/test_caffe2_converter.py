@@ -236,3 +236,69 @@ def test_caffe2_slowfast_dual_pathway_roundtrip(tmp_path):
         np.testing.assert_array_equal(cp[k], np.asarray(flat_p[k]), err_msg=str(k))
     for k in flat_s:
         np.testing.assert_array_equal(cs[k], np.asarray(flat_s[k]), err_msg=str(k))
+
+
+def test_caffe2_pickle_loads_directly_as_sf_pretrained(tmp_path):
+    """cfg.mdl.sf_pretrained_path pointed at a caffe2 pickle loads
+    torch-free through load_pretrained_variables (the reference converts
+    caffe2 at load time, trn_utils.py:358-375)."""
+    from vidsitu_tpu.train.pretrained import (
+        _is_caffe2_pickle,
+        load_pretrained_variables,
+    )
+
+    paths = make_synth_dataset(tmp_path / "d", n_train=8, n_valid=4, seed=83,
+                               with_frames=True)
+    cfg = get_cfg_with_overrides(
+        "c2direct",
+        **{
+            **paths,
+            "task_type": "vb",
+            "mdl.mdl_name": "sf_base",
+            "mdl.sf_mdl_name": "slow_fast_nl_r50_8x8",
+            "vid_mdl.resnet.depth": 26,
+            "vid_mdl.crop_size": 32,
+            "vid_mdl.num_frames": 8,
+            "train.bs": 8,
+            "train.nw": 0,
+            "train.dtype": "float32",
+        },
+    )
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    batch = next(iter(data.train_dl))
+    model = build_model(cfg, comm)
+    variables = init_model_variables(model, batch)
+    flat_p = _flatten(variables["params"]["backbone"], ("backbone",))
+    flat_s = _flatten(variables["batch_stats"]["backbone"], ("backbone",))
+
+    rng = np.random.RandomState(7)
+    blobs = {}
+    for path, arr in {**flat_p, **flat_s}.items():
+        name, kind = _flax_to_caffe2_name(path)
+        a = rng.randn(*np.asarray(arr).shape).astype(np.float32)
+        if kind == "conv":
+            a = np.transpose(a, (4, 3, 0, 1, 2))
+        blobs[name] = a
+    pkl_path = tmp_path / "SLOWFAST_8x8_R50.pkl"
+    with open(pkl_path, "wb") as f:
+        pickle.dump({"blobs": blobs}, f)
+    assert _is_caffe2_pickle(str(pkl_path))
+
+    cfg.mdl.load_sf_pretrained = True
+    cfg.mdl.sf_pretrained_path = str(pkl_path)
+    new_vars = load_pretrained_variables(cfg, model, variables)
+    got = _flatten(new_vars["params"]["backbone"], ("backbone",))
+    changed = sum(
+        not np.array_equal(np.asarray(got[k]), np.asarray(flat_p[k]))
+        for k in flat_p
+    )
+    assert changed > 0, "pretrained load did not replace backbone params"
+    # a specific conv kernel must match the fabricated blob value-exactly
+    for k in flat_p:
+        name, kind = _flax_to_caffe2_name(k)
+        if kind == "conv":
+            exp = np.transpose(blobs[name], (2, 3, 4, 1, 0))
+            np.testing.assert_array_equal(np.asarray(got[k]), exp,
+                                          err_msg=str(k))
+            break

@@ -15,6 +15,23 @@ from typing import Any, Dict, Optional
 import jax
 
 
+def _is_caffe2_pickle(path) -> bool:
+    """Sniff caffe2-format pickles (a dict with a 'blobs' key, as the
+    published Kinetics checkpoints are) vs torch zip/pickle
+    state_dicts."""
+    import pickle
+    import zipfile
+
+    if zipfile.is_zipfile(path):
+        return False  # torch >=1.6 zip serialization
+    try:
+        with open(path, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
+        return isinstance(data, dict) and "blobs" in data
+    except Exception:
+        return False
+
+
 def load_pretrained_variables(cfg, model, variables: Dict[str, Any], logger=None):
     """Apply cfg-driven pretrained initialization. Returns new variables."""
 
@@ -27,11 +44,25 @@ def load_pretrained_variables(cfg, model, variables: Dict[str, Any], logger=None
         assert path and Path(path).exists(), (
             f"load_sf_pretrained set but path missing: {path}"
         )
-        from ..convert.hf_torch import load_torch_state_dict
-        from ..convert.slowfast_torch import convert_sfbase_checkpoint
+        if _is_caffe2_pickle(path):
+            # the published Kinetics checkpoints are caffe2 pickles; the
+            # reference converts them at load time
+            # (trn_utils.py:358-375 via slowfast load_checkpoint)
+            from ..convert.caffe2 import convert_caffe2_backbone
 
-        sd = load_torch_state_dict(path)
-        conv = convert_sfbase_checkpoint(sd, cfg.vid_mdl.arch)
+            bb_params, bb_stats = convert_caffe2_backbone(
+                path, cfg.vid_mdl.arch
+            )
+            conv = {
+                "params": {"backbone": bb_params},
+                "batch_stats": {"backbone": bb_stats},
+            }
+        else:
+            from ..convert.hf_torch import load_torch_state_dict
+            from ..convert.slowfast_torch import convert_sfbase_checkpoint
+
+            sd = load_torch_state_dict(path)
+            conv = convert_sfbase_checkpoint(sd, cfg.vid_mdl.arch)
         params = dict(variables["params"])
         params["backbone"] = conv["params"]["backbone"]
         if "proj_head" in conv["params"]:

@@ -259,6 +259,9 @@ class CfgProcessor:
         assert vid_name in VID_MDL_TO_CFG_FPATH, f"unknown video model {vid_name}"
         vid_cfg = _load_yaml(_PKG_CFG_DIR / VID_MDL_TO_CFG_FPATH[vid_name])
         cfg["vid_mdl"] = vid_cfg
+        # record the merged preset file (reference sets mdl.sf_mdl_cfg_file
+        # during its merge, extended_config.py:182)
+        cfg["mdl"]["sf_mdl_cfg_file"] = VID_MDL_TO_CFG_FPATH[vid_name]
 
         tx_name = (
             dct["mdl.tx_dec_mdl_name"]
@@ -267,6 +270,8 @@ class CfgProcessor:
         )
         assert tx_name in TX_TO_CFG_FPATH, f"unknown tx model {tx_name}"
         cfg["tx_dec"] = _load_yaml(_PKG_CFG_DIR / TX_TO_CFG_FPATH[tx_name])
+        # ditto (extended_config.py:191)
+        cfg["mdl"]["tx_dec_cfg_file"] = TX_TO_CFG_FPATH[tx_name]
         return cfg
 
     def update_from_dict(self, cfg: CfgNode, dct: Dict[str, Any]) -> CfgNode:
