@@ -376,3 +376,53 @@ def test_param_shardings_rule():
     assert sh["b"].spec == P()
     assert sh["scalar"].spec == P()
     assert sh["emb"].spec == P("fsdp", None)
+
+
+def test_preemption_checkpoints_and_resumes(env):
+    """SIGTERM mid-epoch -> fit() stops after the in-flight step, saves a
+    full checkpoint under the run uid, and exits cleanly; re-running the
+    same uid resumes from it (beyond reference parity, SURVEY §5.3)."""
+    import os
+    import signal
+
+    cfg = mk(env, "preempt", **{"train.epochs": 50})
+    learner = _make_learner(cfg)
+
+    class _KillingDL:
+        """Wraps the train loader; delivers SIGTERM after the 1st batch."""
+
+        def __init__(self, dl):
+            self.dl = dl
+            self.batch_size = dl.batch_size
+
+        def set_epoch(self, ep):
+            self.dl.set_epoch(ep)
+
+        def __iter__(self):
+            for i, b in enumerate(self.dl):
+                yield b
+                if i == 0:
+                    os.kill(os.getpid(), signal.SIGTERM)
+
+        def __len__(self):
+            return len(self.dl)
+
+    learner.data.train_dl = _KillingDL(learner.data.train_dl)
+    prev = signal.getsignal(signal.SIGTERM)
+    learner.fit(epochs=50, lr=1e-3)  # returns instead of dying
+    assert signal.getsignal(signal.SIGTERM) == prev, "handler not restored"
+    assert learner.model_file.exists()
+    log = learner.txt_log_file.read_text()
+    assert "preempted" in log
+    it_before = learner.num_it
+    assert 0 < it_before < 10  # stopped early, not after 50 epochs
+
+    # resume by uid: counters and optimizer come back
+    cfg2 = mk(env, "preempt", **{"train.resume": True, "train.load_opt": True})
+    learner2 = _make_learner(cfg2)
+    assert learner2.num_it == it_before
+    learner2.prepare_optimizer(1e-3)
+    mom = jax.tree.leaves(learner2.opt_state)
+    assert any(np.abs(np.asarray(m)).sum() > 0 for m in mom), (
+        "optimizer moments not restored"
+    )

@@ -89,6 +89,7 @@ class Learner:
         self.plateau_wait = 0
         self._pending_opt = None  # stashed backend payload (load-before-fit)
         self._pending_lr = None
+        self._preempt_requested = False
         from .checkpoint import get_backend
 
         self.ckpt_backend = get_backend(cfg.train.ckpt_backend)
@@ -263,6 +264,31 @@ class Learner:
         if self.opt_state is not None:
             self.opt_state = globalize_replicated(self.opt_state, self.mesh)
 
+    def _install_preempt_handler(self):
+        """SIGTERM -> finish the in-flight step, checkpoint, exit cleanly
+        (cfg.train.handle_preemption). Returns a restore callable; no-op
+        outside the main thread or when disabled.
+
+        Multi-process note: the default pickle backend saves rank-0-only,
+        so any rank receiving SIGTERM is safe; the collective orbax
+        backend requires the preemption signal to reach every rank (true
+        for TPU-VM maintenance events, which signal all workers)."""
+        import signal
+
+        if not getattr(self.cfg.train, "handle_preemption", True):
+            return lambda: None
+        try:
+            prev = signal.getsignal(signal.SIGTERM)
+
+            def _on_term(signum, frame):
+                self._preempt_requested = True
+                self.logger.info("SIGTERM received: will checkpoint and exit")
+
+            signal.signal(signal.SIGTERM, _on_term)
+            return lambda: signal.signal(signal.SIGTERM, prev)
+        except ValueError:  # not the main thread
+            return lambda: None
+
     def _own_buffers(self):
         """Copy caller-provided variables once before training: the jitted
         train step donates params/extra, which would otherwise delete the
@@ -309,6 +335,14 @@ class Learner:
                     "it %d loss %.4f smooth %.4f",
                     self.num_it, lossf, smoother.smooth["loss"],
                 )
+            if self._preempt_requested:
+                # preemption notice (SIGTERM): stop after this completed
+                # step; fit() checkpoints the synced state below
+                self.logger.info(
+                    "preemption requested; stopping epoch at it %d",
+                    self.num_it,
+                )
+                break
         if profiling:  # epoch shorter than profile window
             jax.profiler.stop_trace()
         self.variables = dict(extra, params=params)
@@ -344,10 +378,30 @@ class Learner:
         st_time = time.time()
         tracker = Tracker(self.cfg, self.uid)
         tracker.log_params(_CP.cfg_to_flat_dct(self.cfg))
+        restore_sig = self._install_preempt_handler()
         try:
             for _ep in range(epochs):
                 ep_start = time.time()
                 trn_loss = self.train_epoch(train_step, smoother)
+                if self._preempt_requested:
+                    # preemption (SIGTERM): checkpoint the full state
+                    # (model + optimizer + counters) under the run uid so
+                    # re-running the same uid resumes, then exit cleanly.
+                    # Beyond reference parity (it has no preemption
+                    # handling, SURVEY §5.3) — preemptible TPU fleets
+                    # need it.
+                    self.save_model_dict()
+                    self.update_log_file(
+                        f"preempted at epoch {self.num_epoch} "
+                        f"it {self.num_it}; checkpoint saved"
+                    )
+                    self.logger.info(
+                        "preempted: checkpoint saved to %s; re-run uid "
+                        "%s to resume", self.model_file, self.uid,
+                    )
+                    tracker.end_run()
+                    self.ckpt_backend.wait()
+                    return
                 val_loss, val_acc, _ = self.validate()
                 self.num_epoch += 1
                 met0 = float(val_acc[met_keys[0]])
@@ -398,6 +452,8 @@ class Learner:
             tracker.end_run()
             self.ckpt_backend.wait()
             raise
+        finally:
+            restore_sig()
         self.update_log_file(f"epochs done. elapsed {time.time() - st_time:.1f}s")
         tracker.log_artifact(self.txt_log_file)
         tracker.end_run()
