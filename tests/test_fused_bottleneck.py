@@ -25,7 +25,6 @@ def _run_block(fused: bool, needs_proj: bool, seed: int = 0):
     x = jax.random.normal(jax.random.PRNGKey(seed), (2, 2, 8, 8, cin))
     v = blk.init(jax.random.PRNGKey(seed + 1), x)
     # non-trivial BN stats so folding is actually exercised
-    v = jax.tree.map(lambda a: a, v)
     stats = jax.tree.map(
         lambda a: a + 0.3 * jnp.arange(a.size, dtype=a.dtype).reshape(a.shape)
         / a.size,

@@ -411,18 +411,29 @@ def test_preemption_checkpoints_and_resumes(env):
     prev = signal.getsignal(signal.SIGTERM)
     learner.fit(epochs=50, lr=1e-3)  # returns instead of dying
     assert signal.getsignal(signal.SIGTERM) == prev, "handler not restored"
-    assert learner.model_file.exists()
+    # saved to the dedicated preempt file, NOT over the best-model file
+    assert learner.preempt_file.exists()
+    assert not learner.model_file.exists()
     log = learner.txt_log_file.read_text()
     assert "preempted" in log
     it_before = learner.num_it
     assert 0 < it_before < 10  # stopped early, not after 50 epochs
 
-    # resume by uid: counters and optimizer come back
+    # resume by uid: counters and optimizer come back from the preempt
+    # checkpoint, which is consumed (deleted) by the resume
     cfg2 = mk(env, "preempt", **{"train.resume": True, "train.load_opt": True})
     learner2 = _make_learner(cfg2)
     assert learner2.num_it == it_before
+    assert not learner2.preempt_file.exists(), "preempt ckpt not consumed"
     learner2.prepare_optimizer(1e-3)
     mom = jax.tree.leaves(learner2.opt_state)
     assert any(np.abs(np.asarray(m)).sum() > 0 for m in mom), (
         "optimizer moments not restored"
     )
+    # a fresh fit on the preempted learner does not spuriously stop
+    # (stale flag cleared by the next handler install)
+    assert learner._preempt_requested
+    learner.data.train_dl = learner.data.train_dl.dl  # un-kill the loader
+    learner.fit(epochs=1, lr=1e-3)
+    assert not learner.preempt_file.exists()
+    assert learner.num_it >= it_before + 1

@@ -41,8 +41,14 @@ _BN_SUF = {"s": "weight", "b": "bias", "rm": "running_mean",
 
 
 def load_caffe2_pickle(path) -> Dict[str, np.ndarray]:
-    with open(path, "rb") as f:
-        data = pickle.load(f, encoding="latin1")
+    """Load caffe2 blobs from a pickle path, or normalize an
+    already-loaded blob dict (callers that sniffed the file pass the
+    dict through to avoid a second deserialization)."""
+    if isinstance(path, dict):
+        data = path
+    else:
+        with open(path, "rb") as f:
+            data = pickle.load(f, encoding="latin1")
     blobs = data["blobs"] if "blobs" in data else data
     return {
         k: np.asarray(v)

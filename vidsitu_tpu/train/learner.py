@@ -108,10 +108,21 @@ class Learner:
         self.init_log_dirs()
         self.prepare_log_file()
         if cfg.train.resume:
+            resume_path = cfg.train.resume_path
+            if not resume_path:
+                # prefer a preemption checkpoint (current state, newer)
+                # over the best-model file
+                resume_path = str(
+                    self.preempt_file
+                    if self.preempt_file.exists()
+                    else self.model_file
+                )
             self.load_model_dict(
-                resume_path=cfg.train.resume_path or str(self.model_file),
-                load_opt=cfg.train.load_opt,
+                resume_path=resume_path, load_opt=cfg.train.load_opt
             )
+            if resume_path == str(self.preempt_file):
+                # consumed: later resumes should not go back to this state
+                self.preempt_file.unlink(missing_ok=True)
 
     # -- scaffolding (trn_utils.py:433-478) -----------------------------------
     def init_log_dirs(self):
@@ -119,6 +130,9 @@ class Learner:
         self.txt_log_file = tmp / "txt_logs" / f"{self.uid}.txt"
         self.extra_logger_file = tmp / "ext_logs" / f"{self.uid}.txt"
         self.model_file = tmp / "models" / f"{self.uid}.ckpt"
+        # preemption state saves separately so it never clobbers the
+        # best-model checkpoint at model_file
+        self.preempt_file = tmp / "models" / f"{self.uid}.preempt.ckpt"
         self.model_epoch_dir = tmp / "model_epochs" / self.uid
         self.predictions_dir = tmp / "predictions" / self.uid
         for p in (
@@ -265,24 +279,30 @@ class Learner:
             self.opt_state = globalize_replicated(self.opt_state, self.mesh)
 
     def _install_preempt_handler(self):
-        """SIGTERM -> finish the in-flight step, checkpoint, exit cleanly
+        """SIGTERM -> finish the in-flight step (single process) or the
+        in-flight epoch (multi-process), checkpoint, exit cleanly
         (cfg.train.handle_preemption). Returns a restore callable; no-op
         outside the main thread or when disabled.
 
-        Multi-process note: the default pickle backend saves rank-0-only,
-        so any rank receiving SIGTERM is safe; the collective orbax
-        backend requires the preemption signal to reach every rank (true
-        for TPU-VM maintenance events, which signal all workers)."""
+        Multi-process: ranks may observe the signal at different
+        iterations, and breaking mid-epoch on one rank would desync the
+        collective train step — so the flag is only honored at the epoch
+        boundary, which every rank reaches in lockstep. The default
+        pickle backend saves rank-0-only; the collective orbax backend
+        additionally needs the signal delivered to every rank (true for
+        TPU-VM maintenance events)."""
         import signal
 
+        self._preempt_requested = False  # clear any stale flag
         if not getattr(self.cfg.train, "handle_preemption", True):
             return lambda: None
         try:
             prev = signal.getsignal(signal.SIGTERM)
 
             def _on_term(signum, frame):
+                # flag only: logging/stream IO is not reentrant-safe
+                # inside a signal handler
                 self._preempt_requested = True
-                self.logger.info("SIGTERM received: will checkpoint and exit")
 
             signal.signal(signal.SIGTERM, _on_term)
             return lambda: signal.signal(signal.SIGTERM, prev)
@@ -335,9 +355,11 @@ class Learner:
                     "it %d loss %.4f smooth %.4f",
                     self.num_it, lossf, smoother.smooth["loss"],
                 )
-            if self._preempt_requested:
+            if self._preempt_requested and jax.process_count() <= 1:
                 # preemption notice (SIGTERM): stop after this completed
-                # step; fit() checkpoints the synced state below
+                # step; fit() checkpoints the synced state below.
+                # Multi-process honors the flag only at the epoch
+                # boundary (see _install_preempt_handler).
                 self.logger.info(
                     "preemption requested; stopping epoch at it %d",
                     self.num_it,
@@ -385,19 +407,20 @@ class Learner:
                 trn_loss = self.train_epoch(train_step, smoother)
                 if self._preempt_requested:
                     # preemption (SIGTERM): checkpoint the full state
-                    # (model + optimizer + counters) under the run uid so
-                    # re-running the same uid resumes, then exit cleanly.
-                    # Beyond reference parity (it has no preemption
-                    # handling, SURVEY §5.3) — preemptible TPU fleets
-                    # need it.
-                    self.save_model_dict()
+                    # (model + optimizer + counters) to the dedicated
+                    # preempt file (never clobbering the best model at
+                    # model_file) so re-running the same uid resumes,
+                    # then exit cleanly. Beyond reference parity (it has
+                    # no preemption handling, SURVEY §5.3) — preemptible
+                    # TPU fleets need it.
+                    self.save_model_dict(self.preempt_file)
                     self.update_log_file(
                         f"preempted at epoch {self.num_epoch} "
                         f"it {self.num_it}; checkpoint saved"
                     )
                     self.logger.info(
                         "preempted: checkpoint saved to %s; re-run uid "
-                        "%s to resume", self.model_file, self.uid,
+                        "%s to resume", self.preempt_file, self.uid,
                     )
                     tracker.end_run()
                     self.ckpt_backend.wait()

@@ -15,21 +15,35 @@ from typing import Any, Dict, Optional
 import jax
 
 
-def _is_caffe2_pickle(path) -> bool:
-    """Sniff caffe2-format pickles (a dict with a 'blobs' key, as the
-    published Kinetics checkpoints are) vs torch zip/pickle
-    state_dicts."""
+def _load_caffe2_blobs(path):
+    """Return the caffe2 blob dict if ``path`` is a caffe2-format pickle
+    (a {'blobs': ...} wrapper or a bare {name: ndarray} dict, both of
+    which the published Kinetics checkpoints use), else None. Loads the
+    file at most once — the dict is passed straight to the converter.
+    torch checkpoints short-circuit (zip serialization) or fail the
+    plain unpickle (legacy torch needs persistent_load)."""
     import pickle
     import zipfile
 
     if zipfile.is_zipfile(path):
-        return False  # torch >=1.6 zip serialization
+        return None  # torch >=1.6 zip serialization
     try:
         with open(path, "rb") as f:
             data = pickle.load(f, encoding="latin1")
-        return isinstance(data, dict) and "blobs" in data
     except Exception:
-        return False
+        return None
+    if not isinstance(data, dict) or not data:
+        return None
+    blobs = data["blobs"] if "blobs" in data else data
+    if isinstance(blobs, dict) and any(
+        hasattr(v, "shape") for v in blobs.values()
+    ):
+        return blobs
+    return None
+
+
+def _is_caffe2_pickle(path) -> bool:
+    return _load_caffe2_blobs(path) is not None
 
 
 def load_pretrained_variables(cfg, model, variables: Dict[str, Any], logger=None):
@@ -44,14 +58,15 @@ def load_pretrained_variables(cfg, model, variables: Dict[str, Any], logger=None
         assert path and Path(path).exists(), (
             f"load_sf_pretrained set but path missing: {path}"
         )
-        if _is_caffe2_pickle(path):
+        blobs = _load_caffe2_blobs(path)
+        if blobs is not None:
             # the published Kinetics checkpoints are caffe2 pickles; the
             # reference converts them at load time
             # (trn_utils.py:358-375 via slowfast load_checkpoint)
             from ..convert.caffe2 import convert_caffe2_backbone
 
             bb_params, bb_stats = convert_caffe2_backbone(
-                path, cfg.vid_mdl.arch
+                blobs, cfg.vid_mdl.arch
             )
             conv = {
                 "params": {"backbone": bb_params},
