@@ -13,7 +13,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Dict, List
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..utils.io import write_pickle

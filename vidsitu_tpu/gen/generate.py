@@ -3,10 +3,8 @@ EvalB_Gen wiring, mdl_sf_base.py:657-675, evl_vsitu.py:159-214)."""
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict
 
-import jax
 import jax.numpy as jnp
 
 from ..models.srl_models import SRLModel

@@ -12,7 +12,6 @@ from __future__ import annotations
 from collections import Counter
 from typing import Dict, List, Tuple
 
-import regex as re
 
 from .bpe import ByteLevelBPE, bytes_to_unicode, _PRETOK_PAT
 
