@@ -107,3 +107,51 @@ def test_cli_vb(env):
         root,
     )
     assert "Per_Ev_Top_1" in out
+
+
+def test_cli_sigterm_preempts_cleanly(env):
+    """Send SIGTERM to a real `python main.py` run mid-training: the
+    process checkpoints to {uid}.preempt.ckpt and exits 0."""
+    import signal
+    import time
+
+    args, root = env
+    env_vars = dict(os.environ)
+    env_vars["JAX_PLATFORMS"] = "cpu"
+    env_vars["PYTHONPATH"] = str(REPO) + os.pathsep + env_vars.get(
+        "PYTHONPATH", "")
+    uid = "cli_preempt"
+    cmd = [
+        sys.executable, "main.py", uid,
+        "--train.epochs=500", "--train.bs=4", "--train.bsv=4",
+        "--train.nw=0", "--train.nwv=0", "--debug_mode=True",
+        f"--misc.tmp_path={root / 'tmp'}",
+        "--task_type=vb_arg", "--mdl.mdl_name=tx_only",
+        "--gen.max_len_b=20",
+    ] + args + TINY_TX
+    proc = subprocess.Popen(cmd, cwd=str(REPO), env=env_vars,
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True)
+    ext_log = root / "tmp" / "ext_logs" / f"{uid}.txt"
+    deadline = time.time() + 600
+    started = False
+    while time.time() < deadline:
+        if ext_log.exists() and "it " in ext_log.read_text():
+            started = True
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(1.0)
+    assert started, (
+        f"training never started; rc={proc.poll()}\n"
+        + (proc.stderr.read()[-2000:] if proc.poll() is not None else "")
+    )
+    proc.send_signal(signal.SIGTERM)
+    try:
+        out, err = proc.communicate(timeout=600)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise AssertionError("process did not exit after SIGTERM")
+    assert proc.returncode == 0, err[-2000:]
+    assert (root / "tmp" / "models" / f"{uid}.preempt.ckpt").exists()
+    assert "preempted" in (root / "tmp" / "txt_logs" / f"{uid}.txt").read_text()
