@@ -96,6 +96,11 @@ def main_fn(cfg, uid: str):
 
     if not (cfg.only_val or cfg.only_test or cfg.overfit_batch):
         learner.fit(epochs=cfg.train.epochs, lr=cfg.train.lr)
+        if learner._preempt_requested:
+            # preempted: state is checkpointed; skip final validation so
+            # the process exits inside the preemption grace period (and
+            # a first-epoch preemption has no best model to load yet)
+            return
         if cfg.run_final_val:
             print("Running Final Validation using best model")
             learner.load_model_dict(str(learner.model_file), load_opt=False)

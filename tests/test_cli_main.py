@@ -123,7 +123,10 @@ def test_cli_sigterm_preempts_cleanly(env):
     uid = "cli_preempt"
     cmd = [
         sys.executable, "main.py", uid,
-        "--train.epochs=500", "--train.bs=4", "--train.bsv=4",
+        # bs=2 -> 4 batches/epoch, so the SIGTERM (sent once "it 2"
+        # logs) lands MID-first-epoch: the hard case with no best-model
+        # checkpoint yet (main.py must skip run_final_val)
+        "--train.epochs=500", "--train.bs=2", "--train.bsv=4",
         "--train.nw=0", "--train.nwv=0", "--debug_mode=True",
         f"--misc.tmp_path={root / 'tmp'}",
         "--task_type=vb_arg", "--mdl.mdl_name=tx_only",
