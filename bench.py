@@ -256,8 +256,14 @@ def bench_vb_train(b: int = 8, iters: int = 4) -> dict:
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "featext"
+    # optional size overrides: python bench.py srl [bs] [iters]
+    kw = {}
+    if len(sys.argv) > 2:
+        kw["bs"] = int(sys.argv[2])
+    if len(sys.argv) > 3:
+        kw["iters"] = int(sys.argv[3])
     if which == "srl":
-        print(json.dumps(bench_srl_train()))
+        print(json.dumps(bench_srl_train(**kw)))
     elif which == "decode":
         print(json.dumps(bench_srl_decode()))
     elif which == "decode5":

@@ -36,8 +36,8 @@ def test_bench_cli_prints_one_json_line():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     proc = subprocess.run(
-        [sys.executable, "bench.py", "srl"], cwd=str(REPO), env=env,
-        capture_output=True, text=True, timeout=900,
+        [sys.executable, "bench.py", "srl", "4", "2"], cwd=str(REPO),
+        env=env, capture_output=True, text=True, timeout=1800,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = proc.stdout.strip().splitlines()[-1]
