@@ -71,3 +71,19 @@ def test_fused_backbone_matches_unfused():
                                rtol=3e-5, atol=3e-5)
     np.testing.assert_allclose(np.asarray(yf), np.asarray(yf_ref),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_fused_on_cpu_falls_back_to_interpret():
+    """fuse_inference='on' without a TPU must not crash: the op detects
+    the backend and runs interpreted."""
+    cfg = VideoCfg(
+        dtype=jnp.float32, param_dtype=jnp.float32,
+        fuse_inference=True, fuse_interpret=False,  # NOT asking interpret
+        zero_init_final_bn=False,
+    )
+    blk = Bottleneck(dim_out=32, dim_inner=16, temp_kernel=1,
+                     spatial_stride=1, cfg=cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 8, 8, 32))
+    v = blk.init(jax.random.PRNGKey(1), x)
+    y = blk.apply(v, x, train=False)
+    assert y.shape == x.shape

@@ -113,6 +113,11 @@ def fused_bottleneck_frames(
     scale folded in; ba/bb/bc (1, C*) the folded BN shifts. wp/bp: the
     optional 1x1 residual projection (required iff Cin != Cout).
     """
+    if not interpret and jax.default_backend() != "tpu":
+        # compiled Mosaic kernels need a real TPU; anywhere else
+        # (CPU tests, a user flipping tpu.fuse_inference=on off-TPU)
+        # runs interpreted
+        interpret = True
     b, h, w, cin = x.shape
     cout = wc.shape[1]
     cmid = wa.shape[1]
