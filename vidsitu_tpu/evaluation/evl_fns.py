@@ -1,9 +1,11 @@
 """Offline / leaderboard evaluation functions for the three VidSitu tasks.
 
-Line-for-intent port of the reference scoring contract
-(reference: vidsitu_code/evl_fns.py) on top of our dependency-free metric
-stack. Prediction-file formats are identical to the reference
-(docs/README.md): the same pickles score through either implementation.
+Re-implementation of the reference scoring CONTRACT (reference:
+vidsitu_code/evl_fns.py) on top of our dependency-free metric stack —
+the scoring math and the prediction/GT file formats must match exactly
+(docs/README.md: the same pickles score through either implementation;
+golden-fixture tested), while the internals are written in this
+package's own structure and naming.
 
   * verb prediction:  ``EvlFn_Vb.simple_acc`` — Top-1/5 per event and per
     video vs the 10-annotator verb sets, plus verb-macro recall at
@@ -173,10 +175,10 @@ class EvlFn_EvRel:
         gt_corr_lst = []
         msk_lst = []
         for hid in hypos_ids:
-            hyp, gt1, msk1 = hypos[hid], gts[hid], mask[hid]
+            hyp, ev_gts, msk1 = hypos[hid], gts[hid], mask[hid]
             for ev_ix in [1, 2, 4, 5]:
                 hyp_evi = hyp[f"Ev{ev_ix}"]
-                gt_evi = gt1[f"Ev{ev_ix}"]
+                gt_evi = ev_gts[f"Ev{ev_ix}"]
                 msk_evi = msk1[f"Ev{ev_ix}"]
                 assert len(hyp_evi) == len(gt_evi)
                 gt_max = Counter(gt_evi).most_common()[0][0]
@@ -224,47 +226,47 @@ class EvlFn_Vb:
         assert set(hyps.keys()) == set(gts.keys())
         vid_key_lst = sorted(hyps.keys())
         ev_lst = [f"Ev{ix}" for ix in self.evix_lst]
-        corr_dct = {f"Top_{k}": [] for k in range(1, 6)}
-        corr_dct_by_vid = {f"Top_{k}": [] for k in range(1, 6)}
-        corr_dct_by_vb: Dict = {}
+        hits_per_event = {f"Top_{k}": [] for k in range(1, 6)}
+        hits_per_video = {f"Top_{k}": [] for k in range(1, 6)}
+        hits_per_verb: Dict = {}
 
         for vid_key in vid_key_lst:
-            hypos1 = hyps[vid_key]
-            gts1 = gts[vid_key]
-            assert len(hypos1) == len(ev_lst)
-            assert len(gts1) == len(ev_lst)
-            corr_ev_lst = {f"Top_{k}": [] for k in range(1, 6)}
+            vid_hyps = hyps[vid_key]
+            vid_gts = gts[vid_key]
+            assert len(vid_hyps) == len(ev_lst)
+            assert len(vid_gts) == len(ev_lst)
+            video_event_hits = {f"Top_{k}": [] for k in range(1, 6)}
             for ev_i in ev_lst:
-                hy1 = hypos1[ev_i]
-                gt1 = gts1[ev_i]
+                ev_hyps = vid_hyps[ev_i]
+                ev_gts = vid_gts[ev_i]
                 for topk in range(1, 6):
-                    corr_one = int(len(set(hy1[:topk]).intersection(gt1)) > 0)
-                    corr_dct[f"Top_{topk}"].append(corr_one)
-                    corr_ev_lst[f"Top_{topk}"].append(corr_one)
-                gt1_counts = [y for y in Counter(gt1).most_common() if y[1] >= 2]
-                for gtvb, _gtvc in gt1_counts:
-                    corr_dct_by_vb.setdefault(gtvb, [])
-                    corr_dct_by_vb[gtvb].append(int(gtvb in set(hy1)))
+                    hit = int(len(set(ev_hyps[:topk]).intersection(ev_gts)) > 0)
+                    hits_per_event[f"Top_{topk}"].append(hit)
+                    video_event_hits[f"Top_{topk}"].append(hit)
+                majority_verbs = [y for y in Counter(ev_gts).most_common() if y[1] >= 2]
+                for verb, _n_annotators in majority_verbs:
+                    hits_per_verb.setdefault(verb, [])
+                    hits_per_verb[verb].append(int(verb in set(ev_hyps)))
             for topk in range(1, 6):
-                corr_dct_by_vid[f"Top_{topk}"].append(
-                    int(all(y == 1 for y in corr_ev_lst[f"Top_{topk}"]))
+                hits_per_video[f"Top_{topk}"].append(
+                    int(all(y == 1 for y in video_event_hits[f"Top_{topk}"]))
                 )
 
         out_dct: Dict = {}
-        for k in corr_dct:
-            out_dct[f"Per_Ev_{k}"] = get_avg(corr_dct[k])
-        for k in corr_dct_by_vid:
-            out_dct[f"Per_Vid_{k}"] = get_avg(corr_dct_by_vid[k])
+        for k in hits_per_event:
+            out_dct[f"Per_Ev_{k}"] = get_avg(hits_per_event[k])
+        for k in hits_per_video:
+            out_dct[f"Per_Vid_{k}"] = get_avg(hits_per_video[k])
         out_dct["acc"] = out_dct["Per_Ev_Top_5"]
-        corr_lst_by_vb = sorted(
-            [(k, get_avg(v), len(v)) for k, v in corr_dct_by_vb.items()],
+        verb_recall_table = sorted(
+            [(k, get_avg(v), len(v)) for k, v in hits_per_verb.items()],
             key=lambda x: x[1],
             reverse=True,
         )
         for thresh in range(0, 10):
-            lst_thresh = [y[1] for y in corr_lst_by_vb if y[2] > thresh]
-            out_dct[f"recall_macro_1_th_{thresh}"] = get_avg(lst_thresh)
-            out_dct[f"num_vbs_thresh_{thresh}"] = len(lst_thresh)
+            recalls_above = [y[1] for y in verb_recall_table if y[2] > thresh]
+            out_dct[f"recall_macro_1_th_{thresh}"] = get_avg(recalls_above)
+            out_dct[f"num_vbs_thresh_{thresh}"] = len(recalls_above)
         return out_dct
 
     def prepare_hyp_gts(self, pred_file: str, split_type: str = "valid"):
@@ -366,7 +368,7 @@ class EvalFnCap:
             )
 
         ann_idx_keys = sorted(hypo_dct.keys())
-        gto_dct = {
+        gt_refs_dct = {
             an_ix: [y for yix, y in enumerate(self.gts_dct[an_ix]) if yix != ix_gt][
                 :ngt
             ]
@@ -375,32 +377,32 @@ class EvalFnCap:
         aix = 0
         hypo_str_dct: Dict = {}
         gts_str_dct: Dict = {}
-        aix_vb_dct: Dict = {}
-        aix_arg_dct: Dict = {}
-        aix_encoder_dct: Dict = {}
+        ix_to_verb: Dict = {}
+        ix_to_arg: Dict = {}
+        ix_to_meta: Dict = {}
         ev_lst = [f"Ev{eix}" for eix in range(1, 6)]
         for ann_idx in ann_idx_keys:
-            hypo_vb_dct = hypo_dct[ann_idx]
-            gt_vseg_assgns = [
+            pred_events = hypo_dct[ann_idx]
+            gt_annotations = [
                 y for yix, y in enumerate(self.gts_dct[ann_idx]) if yix != ix_gt
             ][:ngt]
             for ev_i in ev_lst:
-                gt_args = gt_vseg_assgns[0][ev_i]["Args"]
-                vb_id = gt_vseg_assgns[0][ev_i]["VerbID"]
+                gt_args = gt_annotations[0][ev_i]["Args"]
+                vb_id = gt_annotations[0][ev_i]["VerbID"]
                 for gt_ag in gt_args:
                     gt_ag_name = arg_mapper(gt_ag)
                     if gt_ag_name not in self.args_used:
                         continue
                     gts_str_dct[aix] = [
-                        gtva[ev_i]["Args"][gt_ag] for gtva in gt_vseg_assgns
+                        gtva[ev_i]["Args"][gt_ag] for gtva in gt_annotations
                     ]
-                    if ev_i in hypo_vb_dct and gt_ag_name in hypo_vb_dct[ev_i]:
-                        hypo_str_dct[aix] = [hypo_vb_dct[ev_i][gt_ag_name]]
+                    if ev_i in pred_events and gt_ag_name in pred_events[ev_i]:
+                        hypo_str_dct[aix] = [pred_events[ev_i][gt_ag_name]]
                     else:
                         hypo_str_dct[aix] = [""]
-                    aix_vb_dct[aix] = vb_id
-                    aix_arg_dct[aix] = gt_ag_name
-                    aix_encoder_dct[aix] = {
+                    ix_to_verb[aix] = vb_id
+                    ix_to_arg[aix] = gt_ag_name
+                    ix_to_meta[aix] = {
                         "aix": aix,
                         "ann_idx": ann_idx,
                         "ev_ix": ev_i,
@@ -414,10 +416,10 @@ class EvalFnCap:
             "hypos": hypo_str_dct,
             "gts": gts_str_dct,
             "hypos_orig": hypo_dct,
-            "gts_orig": gto_dct,
-            "ix_to_vb_map": aix_vb_dct,
-            "ix_to_arg_map": aix_arg_dct,
-            "ix_to_all_map": aix_encoder_dct,
+            "gts_orig": gt_refs_dct,
+            "ix_to_vb_map": ix_to_verb,
+            "ix_to_arg_map": ix_to_arg,
+            "ix_to_all_map": ix_to_meta,
         }
 
     def vb_arg_metrics_all(self, hypos: Dict, gts: Dict, return_sent=False) -> Dict:
@@ -455,10 +457,10 @@ class EvalFnCap:
         self.reset_coval_scorer_dict()
         ev_lst = [f"Ev{ix}" for ix in range(1, 6)]
 
-        def get_coref_dct_for_gt1(gt1):
+        def get_coref_dct_for_gt1(ev_gts):
             coref_dct: Dict = {}
             for ev_i in ev_lst:
-                gt_args = gt1[ev_i]["Args"]
+                gt_args = ev_gts[ev_i]["Args"]
                 for gt_ag in gt_args:
                     gt_ag_name = arg_mapper(gt_ag)
                     if gt_ag_name in self.args_used:
@@ -468,10 +470,10 @@ class EvalFnCap:
                         )
             return coref_dct
 
-        def get_coref_dct_for_pred(pred, gt1):
+        def get_coref_dct_for_pred(pred, ev_gts):
             coref_dct: Dict = {}
             for ev_i in ev_lst:
-                gt_args = list(gt1[ev_i]["Args"].keys())
+                gt_args = list(ev_gts[ev_i]["Args"].keys())
                 for gt_ag in gt_args:
                     gt_ag_name = arg_mapper(gt_ag)
                     if gt_ag_name in self.args_used and gt_ag_name in pred.get(
@@ -500,7 +502,7 @@ class EvalFnCap:
         for gtix in range(gt_max):
             self.reset_coval_scorer_dict()
             for ann_idx in ann_idx_keys:
-                gts1 = gts_orig_dct[ann_idx][gtix]
+                vid_gts = gts_orig_dct[ann_idx][gtix]
                 hypo_1 = hyp_orig_dct[ann_idx]
                 cid_sc_lst = None
                 if is_lea_soft:
@@ -512,7 +514,7 @@ class EvalFnCap:
                 if "Args" in hypo_1["Ev1"]:
                     sys_dct = preproc_dct(get_coref_dct_for_gt1(hypo_1))
                 else:
-                    sys_dct = preproc_dct(get_coref_dct_for_pred(hypo_1, gts1))
+                    sys_dct = preproc_dct(get_coref_dct_for_pred(hypo_1, vid_gts))
                 if is_lea_soft:
                     cid_sc_lst = []
                     for cls1 in sys_dct:
@@ -522,7 +524,7 @@ class EvalFnCap:
                                 for cls11 in cls1
                             ]
                         )
-                key_dct = preproc_dct(get_coref_dct_for_gt1(gts1))
+                key_dct = preproc_dct(get_coref_dct_for_gt1(vid_gts))
                 key_to_sys = get_mention_assignments(key_dct, sys_dct)
                 sys_to_key = get_mention_assignments(sys_dct, key_dct)
                 tup = (key_dct, sys_dct, key_to_sys, sys_to_key)
