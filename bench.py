@@ -256,7 +256,10 @@ def bench_vb_train(b: int = 8, iters: int = 4) -> dict:
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "featext"
-    # optional size overrides: python bench.py srl [bs] [iters]
+    # optional size overrides, forwarded to every mode:
+    #   python bench.py srl|decode|decode5 [bs] [iters]
+    #   python bench.py vbtrain [b] [iters]
+    #   python bench.py featext [clips] [iters]
     kw = {}
     if len(sys.argv) > 2:
         kw["bs"] = int(sys.argv[2])
@@ -265,10 +268,16 @@ if __name__ == "__main__":
     if which == "srl":
         print(json.dumps(bench_srl_train(**kw)))
     elif which == "decode":
-        print(json.dumps(bench_srl_decode()))
+        print(json.dumps(bench_srl_decode(**kw)))
     elif which == "decode5":
-        print(json.dumps(bench_srl_decode(beam=5)))
+        print(json.dumps(bench_srl_decode(beam=5, **kw)))
     elif which == "vbtrain":
-        print(json.dumps(bench_vb_train()))
+        if "bs" in kw:
+            kw["b"] = kw.pop("bs")
+        print(json.dumps(bench_vb_train(**kw)))
+    elif which == "featext":
+        if "bs" in kw:
+            kw["clips"] = kw.pop("bs")
+        print(json.dumps(bench_slowfast_featext(**kw)))
     else:
-        print(json.dumps(bench_slowfast_featext()))
+        raise SystemExit(f"unknown bench mode {which!r}")

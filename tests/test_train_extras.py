@@ -283,6 +283,34 @@ def test_resume_restores_optimizer_state(env, backend):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.parametrize("backend", ["pickle", "orbax"])
+def test_preempt_consume_deletes_via_backend(env, backend):
+    """The consumed preempt checkpoint (a FILE for pickle, a DIRECTORY
+    for orbax) is deleted through the backend after the first subsequent
+    successful save — regression for IsADirectoryError on unlink of an
+    orbax checkpoint directory."""
+    bk = {"train.ckpt_backend": backend}
+    cfg = mk(env, f"pcon_{backend}", **bk)
+    l1 = _make_learner(cfg)
+    l1.prepare_optimizer(1e-3)
+    l1.num_it = 7  # distinguishable counter proves the resume below
+    l1.save_model_dict(l1.preempt_file)
+    l1.ckpt_backend.wait()
+    assert l1.preempt_file.exists()
+
+    cfg2 = mk(env, f"pcon_{backend}",
+              **{"train.resume": True, "train.load_opt": True, **bk})
+    l2 = _make_learner(cfg2)
+    assert l2.num_it == 7, "did not resume from the preempt checkpoint"
+    # kept until the first new save (crash-safety window)
+    assert l2.preempt_file.exists()
+    l2.fit(epochs=1, lr=1e-3)
+    assert not l2.preempt_file.exists()
+    # orbax sidecar goes with it
+    side = l2.preempt_file.parent / (l2.preempt_file.name + ".meta.json")
+    assert not side.exists()
+
+
 def test_resume_without_load_opt_keeps_fresh_optimizer(env):
     cfg1 = mk(env, "resC", **{"train.use_reduce_lr_plateau": False})
     l1 = _make_learner(cfg1)
@@ -420,11 +448,13 @@ def test_preemption_checkpoints_and_resumes(env):
     assert 0 < it_before < 10  # stopped early, not after 50 epochs
 
     # resume by uid: counters and optimizer come back from the preempt
-    # checkpoint, which is consumed (deleted) by the resume
+    # checkpoint
     cfg2 = mk(env, "preempt", **{"train.resume": True, "train.load_opt": True})
     learner2 = _make_learner(cfg2)
     assert learner2.num_it == it_before
-    assert not learner2.preempt_file.exists(), "preempt ckpt not consumed"
+    # consumed but NOT yet deleted: a hard crash (no SIGTERM) before the
+    # next successful save must still be able to resume from this state
+    assert learner2.preempt_file.exists(), "preempt ckpt dropped too early"
     learner2.prepare_optimizer(1e-3)
     mom = jax.tree.leaves(learner2.opt_state)
     assert any(np.abs(np.asarray(m)).sum() > 0 for m in mom), (
@@ -435,5 +465,12 @@ def test_preemption_checkpoints_and_resumes(env):
     assert learner._preempt_requested
     learner.data.train_dl = learner.data.train_dl.dl  # un-kill the loader
     learner.fit(epochs=1, lr=1e-3)
-    assert not learner.preempt_file.exists()
     assert learner.num_it >= it_before + 1
+    # learner never resumed from the preempt file, so it must not have
+    # deleted it on its own saves
+    assert learner.preempt_file.exists()
+    # the FIRST successful save after a preempt-resume finally deletes the
+    # consumed preempt checkpoint (learner2 fits one epoch -> best-model
+    # save -> stale preempt dropped)
+    learner2.fit(epochs=1, lr=1e-3)
+    assert not learner2.preempt_file.exists(), "preempt ckpt not consumed"

@@ -1,11 +1,12 @@
 """Offline / leaderboard evaluation functions for the three VidSitu tasks.
 
-Re-implementation of the reference scoring CONTRACT (reference:
-vidsitu_code/evl_fns.py) on top of our dependency-free metric stack —
-the scoring math and the prediction/GT file formats must match exactly
-(docs/README.md: the same pickles score through either implementation;
-golden-fixture tested), while the internals are written in this
-package's own structure and naming.
+Direct port of the reference's ``vidsitu_code/evl_fns.py`` scoring
+logic onto our dependency-free metric stack. The scoring math and the
+prediction/GT file formats must match exactly (docs/README.md: the same
+pickles score through either implementation; golden-fixture tested), so
+the algorithms, loop structure, and output keys deliberately mirror the
+reference line for line — only local naming, condensation, and
+crash-path guards differ. Attribution: TheShadow29/VidSitu (MIT).
 
   * verb prediction:  ``EvlFn_Vb.simple_acc`` — Top-1/5 per event and per
     video vs the 10-annotator verb sets, plus verb-macro recall at

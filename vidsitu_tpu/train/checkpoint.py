@@ -82,6 +82,9 @@ class PickleBackend:
     def restore_opt(self, target, loaded):
         return serialization.from_bytes(target, loaded["opt_bytes"])
 
+    def delete(self, path):
+        Path(path).unlink(missing_ok=True)
+
     def wait(self):
         pass
 
@@ -183,6 +186,19 @@ class OrbaxBackend:
 
     def restore_opt(self, target, loaded):
         return serialization.from_state_dict(target, loaded["raw"]["opt"])
+
+    def delete(self, path):
+        # orbax checkpoints are DIRECTORIES (plus the .meta.json sidecar)
+        import shutil
+
+        self.wait()  # never delete under an in-flight async save
+        d = self._dir(path)
+        if d.is_dir():
+            shutil.rmtree(d)
+        else:
+            d.unlink(missing_ok=True)
+        meta_p = d.parent / (d.name + ".meta.json")
+        meta_p.unlink(missing_ok=True)
 
     def wait(self):
         self._ckptr.wait_until_finished()

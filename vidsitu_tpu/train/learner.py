@@ -90,6 +90,7 @@ class Learner:
         self._pending_opt = None  # stashed backend payload (load-before-fit)
         self._pending_lr = None
         self._preempt_requested = False
+        self._stale_preempt = None  # consumed preempt ckpt, deleted on next save
         from .checkpoint import get_backend
 
         self.ckpt_backend = get_backend(cfg.train.ckpt_backend)
@@ -121,8 +122,12 @@ class Learner:
                 resume_path=resume_path, load_opt=cfg.train.load_opt
             )
             if resume_path == str(self.preempt_file):
-                # consumed: later resumes should not go back to this state
-                self.preempt_file.unlink(missing_ok=True)
+                # consumed — but keep the file until the FIRST subsequent
+                # successful save: if the resumed run dies hard (OOM, kill
+                # -9) before saving anything, the next resume must still
+                # see this state rather than silently falling back to the
+                # older best-model file. save_model_dict deletes it.
+                self._stale_preempt = self.preempt_file
 
     # -- scaffolding (trn_utils.py:433-478) -----------------------------------
     def init_log_dirs(self):
@@ -285,12 +290,13 @@ class Learner:
         outside the main thread or when disabled.
 
         Multi-process: ranks may observe the signal at different
-        iterations, and breaking mid-epoch on one rank would desync the
-        collective train step — so the flag is only honored at the epoch
-        boundary, which every rank reaches in lockstep. The default
-        pickle backend saves rank-0-only; the collective orbax backend
-        additionally needs the signal delivered to every rank (true for
-        TPU-VM maintenance events)."""
+        iterations (or only SOME ranks may receive it at all), and
+        breaking mid-epoch on one rank would desync the collective train
+        step — so the flag is only honored at the epoch boundary, which
+        every rank reaches in lockstep, and fit() all-reduces it there
+        (_sync_preempt_flag) so every rank takes the same branch even
+        under partial signal delivery. Works with either backend; the
+        collective orbax save then runs on all ranks as required."""
         import signal
 
         self._preempt_requested = False  # clear any stale flag
@@ -308,6 +314,21 @@ class Learner:
             return lambda: signal.signal(signal.SIGTERM, prev)
         except ValueError:  # not the main thread
             return lambda: None
+
+    def _sync_preempt_flag(self) -> bool:
+        """Global OR of the preempt flag across processes. Called at the
+        epoch boundary so that if ANY rank observed SIGTERM, every rank
+        takes the checkpoint-and-exit branch together — otherwise the
+        signaled rank would return from fit() while un-signaled ranks
+        proceed into validate()'s collectives and hang."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(
+                np.asarray(self._preempt_requested, np.int32)
+            )
+            self._preempt_requested = bool(np.max(flags))
+        return self._preempt_requested
 
     def _own_buffers(self):
         """Copy caller-provided variables once before training: the jitted
@@ -405,7 +426,7 @@ class Learner:
             for _ep in range(epochs):
                 ep_start = time.time()
                 trn_loss = self.train_epoch(train_step, smoother)
-                if self._preempt_requested:
+                if self._sync_preempt_flag():
                     # preemption (SIGTERM): checkpoint the full state
                     # (model + optimizer + counters) to the dedicated
                     # preempt file (never clobbering the best model at
@@ -529,6 +550,13 @@ class Learner:
         self.ckpt_backend.save(
             path, self.variables["params"], extra, self.opt_state, meta
         )
+        if self._stale_preempt is not None:
+            # a newer checkpoint now exists: the consumed preempt state is
+            # finally safe to drop. Backend-mediated delete (orbax ckpts
+            # are directories); rank-0-only to avoid cross-rank races.
+            stale, self._stale_preempt = self._stale_preempt, None
+            if path != stale and jax.process_index() == 0:
+                self.ckpt_backend.delete(stale)
 
     def load_model_dict(self, resume_path: str, load_opt: bool = False):
         loaded = self.ckpt_backend.load(resume_path)
