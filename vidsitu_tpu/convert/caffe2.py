@@ -138,18 +138,33 @@ def caffe2_to_pysf_names(blobs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
-def convert_caffe2_backbone(path, arch: str) -> Tuple[Dict, Dict]:
+def convert_caffe2_backbone(
+    path, arch: str, strict: bool = False
+) -> Tuple[Dict, Dict]:
     """caffe2 pkl -> (params, batch_stats) for any backbone arch
-    (single-pathway ResNet3D variants and dual-pathway SlowFast)."""
+    (single-pathway ResNet3D variants and dual-pathway SlowFast).
+    ``strict`` raises on any blob that neither maps to a model weight
+    nor is known bookkeeping (momentum/iteration/lr/classifier head)."""
     blobs = load_caffe2_pickle(path)
     sd = caffe2_to_pysf_names(blobs)
     unmapped = [k for k in sd if k.startswith("_unmapped.")]
     sd = {k: v for k, v in sd.items() if not k.startswith("_unmapped.")}
     if unmapped:
-        import logging
+        known_aux = [
+            k for k in unmapped
+            if k.split(".", 1)[1] in ("model_iter", "lr", "__type__")
+        ]
+        real = [k for k in unmapped if k not in known_aux]
+        if real and strict:
+            raise ValueError(
+                f"caffe2 conversion: {len(real)} unmapped blobs "
+                f"(e.g. {real[:5]}) — checkpoint naming-scheme mismatch"
+            )
+        if real:
+            import logging
 
-        logging.getLogger(__name__).warning(
-            "caffe2 conversion skipped %d unmapped blobs (e.g. %s)",
-            len(unmapped), unmapped[:3],
-        )
-    return convert_video_backbone(sd, arch)
+            logging.getLogger(__name__).warning(
+                "caffe2 conversion skipped %d unmapped blobs (e.g. %s)",
+                len(real), real[:3],
+            )
+    return convert_video_backbone(sd, arch, strict=strict)

@@ -13,6 +13,19 @@ from typing import Any, Dict, Optional
 
 import numpy as np
 
+from .tracking import TrackedDict, verify_exhausted
+
+# non-parameter keys legitimately absent from the converted tree
+_GPT2_IGNORE = (
+    r"^lm_head\.weight$",          # tied to wte
+    r"\.attn\.(bias|masked_bias)$",  # causal-mask buffers
+)
+_ROBERTA_IGNORE = (
+    r"position_ids$",   # buffer
+    r"^lm_head\.",      # MLM head (unused by the encoder consumer)
+    r"^classifier\.",   # task head is built fresh (ref mdl_evrel.py:21-24)
+)
+
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
     import torch
@@ -42,13 +55,17 @@ def convert_gpt2(
     n_heads: int,
     target_vocab: Optional[int] = None,
     seed: int = 0,
+    strict: bool = False,
 ) -> Dict[str, Any]:
     """HF GPT2LMHeadModel state dict -> TransformerDecoder params
     (pre-norm, gelu, learned positions, tied in/out embeddings).
 
     ``target_vocab`` resizes the token embedding for added tokens
     (HF resize_token_embeddings semantics: new rows ~ N(0, 0.02)).
+    ``strict`` asserts every source key is consumed (or a known
+    buffer/tied weight) — full-checkpoint schema fidelity.
     """
+    sd = TrackedDict(dict(sd))
     pre = "transformer." if any(k.startswith("transformer.") for k in sd) else ""
     rng = np.random.default_rng(seed)
     wte = sd[f"{pre}wte.weight"]
@@ -99,6 +116,8 @@ def convert_gpt2(
             },
         }
         params[f"layers_{i}"] = layer
+    if strict:
+        verify_exhausted(sd, _GPT2_IGNORE, "convert_gpt2")
     return params
 
 
@@ -106,8 +125,11 @@ def convert_roberta(
     sd: Dict[str, np.ndarray],
     n_layers: int,
     n_heads: int,
+    strict: bool = False,
 ) -> Dict[str, Any]:
-    """HF RobertaModel state dict -> our RobertaModel params."""
+    """HF RobertaModel state dict -> our RobertaModel params. ``strict``
+    asserts full source-key consumption (modulo buffers/aux heads)."""
+    sd = TrackedDict(dict(sd))
     pre = "roberta." if any(k.startswith("roberta.") for k in sd) else ""
     emb = f"{pre}embeddings."
     enc = f"{pre}encoder.layer."
@@ -169,4 +191,6 @@ def convert_roberta(
                 "bias": sd[L + "output.LayerNorm.bias"],
             },
         }
+    if strict:
+        verify_exhausted(sd, _ROBERTA_IGNORE, "convert_roberta")
     return params

@@ -26,6 +26,14 @@ from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
+from .tracking import TrackedDict, verify_exhausted
+
+_BACKBONE_IGNORE = (
+    r"\.num_batches_tracked$",  # torch BN step counters
+    r"^head\.",                 # classification head (trimmed, ref
+                                # mdl_sf_base.py:65-113)
+)
+
 
 def _conv_w(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (2, 3, 4, 1, 0))
@@ -53,13 +61,16 @@ def _set(tree: Dict, path: Tuple[str, ...], leaf: Any):
 
 
 def convert_video_backbone(
-    sd: Dict[str, np.ndarray], arch: str
+    sd: Dict[str, np.ndarray], arch: str, strict: bool = False
 ) -> Tuple[Dict, Dict]:
     """PySlowFast state dict -> (params, batch_stats) for our backbone.
 
     ``arch``: 'slowfast' for dual pathway, else single pathway.
     Returns trees rooted at the backbone (no 'backbone' wrapper).
+    ``strict`` asserts every source key is consumed (modulo BN step
+    counters / the trimmed classification head).
     """
+    sd = TrackedDict(dict(sd))
     multi = arch == "slowfast"
     params: Dict = {}
     stats: Dict = {}
@@ -129,17 +140,19 @@ def convert_video_backbone(
             put_convbn((f"s{k}_fuse", "conv_f2s"), f"s{k}_fuse.conv_f2s",
                        bn_name=f"s{k}_fuse.bn")
 
+    if strict:
+        verify_exhausted(sd, _BACKBONE_IGNORE, "convert_video_backbone")
     return params, stats
 
 
 def convert_sfbase_checkpoint(
-    sd: Dict[str, np.ndarray], arch: str
+    sd: Dict[str, np.ndarray], arch: str, strict: bool = False
 ) -> Dict[str, Any]:
     """Full SFBase checkpoint (sf_mdl.* + proj_head.*) -> VbVideoModel
     variables {'params', 'batch_stats'}."""
     sd = strip_prefixes(sd)
     back_sd = strip_prefixes(sd, subtree="sf_mdl")
-    bparams, bstats = convert_video_backbone(back_sd, arch)
+    bparams, bstats = convert_video_backbone(back_sd, arch, strict=strict)
     params: Dict[str, Any] = {"backbone": bparams}
     stats: Dict[str, Any] = {"backbone": bstats}
     # proj_head: nn.Sequential(Linear, ReLU, Linear) -> MLP layers_{0,1}

@@ -66,7 +66,7 @@ def load_pretrained_variables(cfg, model, variables: Dict[str, Any], logger=None
             from ..convert.caffe2 import convert_caffe2_backbone
 
             bb_params, bb_stats = convert_caffe2_backbone(
-                blobs, cfg.vid_mdl.arch
+                blobs, cfg.vid_mdl.arch, strict=True
             )
             conv = {
                 "params": {"backbone": bb_params},
@@ -77,7 +77,7 @@ def load_pretrained_variables(cfg, model, variables: Dict[str, Any], logger=None
             from ..convert.slowfast_torch import convert_sfbase_checkpoint
 
             sd = load_torch_state_dict(path)
-            conv = convert_sfbase_checkpoint(sd, cfg.vid_mdl.arch)
+            conv = convert_sfbase_checkpoint(sd, cfg.vid_mdl.arch, strict=True)
         params = dict(variables["params"])
         params["backbone"] = conv["params"]["backbone"]
         if "proj_head" in conv["params"]:
@@ -100,6 +100,7 @@ def load_pretrained_variables(cfg, model, variables: Dict[str, Any], logger=None
             dec = convert_gpt2(
                 sd, n_layers=cfg.gpt2_mdl.n_layers,
                 n_heads=cfg.gpt2_mdl.n_heads, target_vocab=tokvocab,
+                strict=True,
             )
             params = dict(variables["params"])
             params["decoder"] = dec
@@ -114,7 +115,8 @@ def load_pretrained_variables(cfg, model, variables: Dict[str, Any], logger=None
 
             sd = load_torch_state_dict(path)
             rob = convert_roberta(
-                sd, n_layers=cfg.rob_mdl.n_layers, n_heads=cfg.rob_mdl.n_heads
+                sd, n_layers=cfg.rob_mdl.n_layers,
+                n_heads=cfg.rob_mdl.n_heads, strict=True,
             )
             params = dict(variables["params"])
             merged = dict(params["rob_mdl"])
