@@ -1,0 +1,113 @@
+"""Decoded-uint8 frame cache: correctness + write-through + prep CLI.
+
+Host feed gap (BENCH.md): featext's device rate implies ~13 GB/s of
+decoded frames, so per-epoch JPEG decode (reference dat_loader.py:454-475
+does it in every worker, every epoch) starves the chip. The cache
+decodes once into per-segment memmapped npys; these tests pin that the
+cached path is BIT-IDENTICAL to the decode path and that it actually
+replaces JPEG reads.
+"""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from vidsitu_tpu.data import build_comm, get_data
+from vidsitu_tpu.data.synth import make_synth_dataset
+from vidsitu_tpu.utils.config import get_cfg_with_overrides
+
+TINY_VID = {
+    "vid_mdl.resnet.depth": 26,
+    "vid_mdl.crop_size": 32,
+    "vid_mdl.num_frames": 4,
+    "vid_mdl.sampling_rate": 2,
+}
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fcache")
+    paths = make_synth_dataset(
+        root, n_train=8, n_valid=4, seed=71, with_frames=True
+    )
+    return paths, root
+
+
+def mk(env_, uid, **kw):
+    paths, root = env_
+    return get_cfg_with_overrides(
+        uid,
+        **{
+            **paths,
+            "task_type": "vb",
+            "mdl.mdl_name": "sf_base",
+            **TINY_VID,
+            "train.bs": 4,
+            "train.bsv": 4,
+            "train.nw": 0,
+            "train.nwv": 0,
+            "misc.tmp_path": str(root / "tmp"),
+            **kw,
+        },
+    )
+
+
+def _first_batch(cfg):
+    build_comm(cfg)
+    data = get_data(cfg)
+    return next(iter(data.train_dl))
+
+
+def test_cached_batch_bit_identical_and_replaces_jpeg_reads(env, tmp_path):
+    paths, root = env
+    plain = _first_batch(mk(env, "fc_plain"))
+
+    cache_dir = tmp_path / "cache"
+    cfg = mk(env, "fc_cached", **{"tpu.frame_cache_dir": str(cache_dir)})
+    cached = _first_batch(cfg)  # write-through populates the cache
+    for k in ("frms_ev_fast_tensor", "frms_ev_slow_tensor"):
+        np.testing.assert_array_equal(plain[k], cached[k], err_msg=k)
+    cache_files = list(cache_dir.glob("*_32.npy"))
+    assert len(cache_files) > 0
+
+    # prove the hit path decodes NO JPEGs: remove the frame tree, copy it
+    # aside first so other tests (module fixture) keep working
+    frames_dir = paths["ds.vsitu.video_frms_tdir"]
+    backup = tmp_path / "frames_backup"
+    shutil.copytree(frames_dir, backup)
+    try:
+        shutil.rmtree(frames_dir)
+        cfg2 = mk(env, "fc_hit", **{"tpu.frame_cache_dir": str(cache_dir)})
+        hit = _first_batch(cfg2)
+        for k in ("frms_ev_fast_tensor", "frms_ev_slow_tensor"):
+            np.testing.assert_array_equal(plain[k], hit[k], err_msg=k)
+    finally:
+        shutil.copytree(backup, frames_dir, dirs_exist_ok=True)
+
+
+def test_prep_cli_builds_cache(env, tmp_path):
+    import json
+
+    from vidsitu_tpu.prep import main as prep_main
+
+    from pathlib import Path
+
+    paths, root = env
+    frames_dir = paths["ds.vsitu.video_frms_tdir"]
+    segs = sorted(p.name for p in Path(frames_dir).iterdir())
+    split_file = tmp_path / "segs.json"
+    split_file.write_text(json.dumps(segs[:2]))
+    cache_dir = tmp_path / "cli_cache"
+    prep_main([
+        "--task_type=build_frame_cache",
+        f"--split_file={split_file}",
+        f"--frames_dir={frames_dir}",
+        f"--cache_dir={cache_dir}",
+        "--out_hw=32",
+        "--max_workers=2",
+    ])
+    built = sorted(p.name for p in cache_dir.glob("*_32.npy"))
+    assert built == [f"{s}_32.npy" for s in segs[:2]]
+    arr = np.load(cache_dir / built[0], mmap_mode="r")
+    assert arr.shape == (300, 32, 32, 3) and arr.dtype == np.uint8

@@ -331,6 +331,8 @@ class VsituDS:
             max_frms=self.comm.max_frms,
             out_hw=self.vid_cfg.crop_size,
             keep_uint8=bool(self.full_cfg.tpu.on_device_preproc),
+            cache_dir=self.full_cfg.tpu.frame_cache_dir or None,
+            cache_write=bool(self.full_cfg.tpu.frame_cache_write),
         )
 
     def get_frm_feats_all(self, idx: int) -> Dict[str, np.ndarray]:

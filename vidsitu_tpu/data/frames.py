@@ -8,7 +8,9 @@ semantics match the reference exactly.
 
 from __future__ import annotations
 
-from typing import Dict, List
+import os
+from pathlib import Path
+from typing import Dict, List, Optional
 
 import numpy as np
 from PIL import Image
@@ -28,6 +30,48 @@ def read_img(img_fpath, out_hw: int = 224) -> np.ndarray:
     img = Image.open(img_fpath).convert("RGB")
     img = img.resize((out_hw, out_hw))
     return np.asarray(img)
+
+
+def segment_cache_path(cache_dir, vid_seg_name: str, out_hw: int) -> Path:
+    """Cache file for one segment's decoded frames, keyed by resolution
+    (sampling geometry stays free: the full 300-frame track is cached)."""
+    return Path(cache_dir) / f"{vid_seg_name}_{out_hw}.npy"
+
+
+def write_segment_cache(
+    frm_dir,
+    vid_seg_name: str,
+    cache_dir,
+    out_hw: int,
+    max_frms: int = 300,
+) -> Path:
+    """One-time decode of a segment's JPEG track into a single uint8
+    ``(T, H, W, 3)`` npy that the loader memmaps.
+
+    Rationale (host feed gap): the flagship featext device rate needs
+    ~13 GB/s of decoded frames, far beyond any host's JPEG decode; a
+    decoded-uint8 cache turns the per-epoch cost into a sequential read
+    (the reference pays JPEG decode in every dataloader worker on every
+    epoch, dat_loader.py:454-475). Atomic tmp+rename write so concurrent
+    builders/readers never see a torn file.
+    """
+    path = segment_cache_path(cache_dir, vid_seg_name, out_hw)
+    if path.exists():
+        return path
+    arr = np.stack(
+        [
+            read_img(
+                f"{frm_dir}/{vid_seg_name}/{vid_seg_name}_{ix:06d}.jpg",
+                out_hw=out_hw,
+            )
+            for ix in range(1, max_frms + 1)
+        ]
+    ).astype(np.uint8)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_suffix(f".tmp{os.getpid()}.npy")
+    np.save(tmp, arr)
+    os.replace(tmp, path)
+    return path
 
 
 def normalize_frames(frames: np.ndarray, mean, std) -> np.ndarray:
@@ -64,13 +108,28 @@ def load_event_clips(
     max_frms: int = 300,
     out_hw: int = 224,
     keep_uint8: bool = False,
+    cache_dir: Optional[str] = None,
+    cache_write: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Read + normalize + pack the 5 event windows of one video segment.
 
     Output: {"frms_ev_fast_tensor": (5, Tf, H, W, 3) float32,
              optionally "frms_ev_slow_tensor": (5, Ts, H, W, 3)}.
     (reference: dat_loader.py:454-501, channels-last here)
+
+    ``cache_dir``: decoded-uint8 frame cache — hit reads slice a
+    memmapped per-segment npy instead of decoding JPEGs; a miss decodes
+    and (``cache_write``) populates the cache for the next epoch.
     """
+    track = None  # memmapped (T, H, W, 3) uint8 when cached
+    if cache_dir:
+        cpath = segment_cache_path(cache_dir, vid_seg_name, out_hw)
+        if not cpath.exists() and cache_write:
+            cpath = write_segment_cache(
+                frm_dir, vid_seg_name, cache_dir, out_hw, max_frms
+            )
+        if cpath.exists():
+            track = np.load(cpath, mmap_mode="r")
     fast_lst = []
     slow_lst = []
     for ev in range(1, 6):
@@ -81,15 +140,19 @@ def load_event_clips(
             sample_rate=sampling_rate,
             max_num_frames=max_frms,
         )
-        frms = np.stack(
-            [
-                read_img(
-                    f"{frm_dir}/{vid_seg_name}/{vid_seg_name}_{ix + 1:06d}.jpg",
-                    out_hw=out_hw,
-                )
-                for ix in idxs
-            ]
-        )
+        if track is not None:
+            frms = np.asarray(track[idxs])
+        else:
+            frms = np.stack(
+                [
+                    read_img(
+                        f"{frm_dir}/{vid_seg_name}/"
+                        f"{vid_seg_name}_{ix + 1:06d}.jpg",
+                        out_hw=out_hw,
+                    )
+                    for ix in idxs
+                ]
+            )
         if not keep_uint8:
             frms = normalize_frames(frms, vid_cfg.mean, vid_cfg.std)
         paths = pack_pathways(frms, vid_cfg)

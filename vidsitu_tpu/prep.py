@@ -119,15 +119,34 @@ def main(argv=None):
 
     ap = argparse.ArgumentParser(description="VidSitu data prep")
     ap.add_argument("--task_type", required=True,
-                    choices=["dwn_vids", "extract_frames"])
+                    choices=["dwn_vids", "extract_frames",
+                             "build_frame_cache"])
     ap.add_argument("--split_file", required=True)
     ap.add_argument("--video_dir", default="./data/vsitu_video_trimmed_dir")
     ap.add_argument("--frames_dir", default="./data/vsitu_frames")
+    ap.add_argument("--cache_dir", default="./data/vsitu_frame_cache")
+    ap.add_argument("--out_hw", type=int, default=224)
     ap.add_argument("--max_workers", type=int, default=8)
     args = ap.parse_args(argv)
 
     with open(args.split_file) as f:
         segs = json.load(f)
+
+    if args.task_type == "build_frame_cache":
+        # one-time JPEG decode -> per-segment uint8 npy tree; training /
+        # featext then read memmapped slices instead of re-decoding
+        # every epoch (host feed gap, see data/frames.write_segment_cache)
+        from .data.frames import write_segment_cache
+
+        def one_seg(s):
+            return write_segment_cache(
+                args.frames_dir, s, args.cache_dir, out_hw=args.out_hw
+            )
+
+        res = run_pool(one_seg, segs, max_workers=args.max_workers)
+        ok = sum(1 for v in res.values() if isinstance(v, Path))
+        print(f"cached {ok}/{len(segs)} segments -> {args.cache_dir}")
+        return
 
     if args.task_type == "dwn_vids":
         res = run_pool(
