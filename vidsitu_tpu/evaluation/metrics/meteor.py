@@ -1,4 +1,5 @@
-"""METEOR scorer (pure Python: exact + Porter-stem matching stages).
+"""METEOR scorer (pure Python: exact + Porter-stem matching stages,
+plus an OPTIONAL synonym stage fed by external WordNet-layout data).
 
 The reference registers pycocoevalcap's Java METEOR jar in its scorer
 dict (vidsitu_code/evl_fns.py:410-432) without using it in any reported
@@ -10,18 +11,31 @@ formulation (Banerjee & Lavie 2005; the same formulation nltk ships):
     penalty = gamma * (chunks / m) ** beta
     score = Fmean * (1 - penalty)           (alpha=0.9, beta=3, gamma=0.5)
 
-with two matching stages — exact tokens, then Porter-stemmed tokens —
-matched greedily in hypothesis order (first unmatched reference token
-wins), chunks counted as contiguous runs in both sequences, and the max
-score over references. The Java jar's synonym/paraphrase stages need
-WordNet/paraphrase data files that are not vendorable here; this scorer
-is exact-equal to nltk's meteor_score when no synonym matches apply
-(asserted in tests).
+with matching stages in nltk's order — exact tokens, Porter-stemmed
+tokens, then (when synonym data is supplied) WordNet synonymy — each
+matched greedily in reverse hypothesis order (latest unmatched reference
+token wins), chunks counted as contiguous runs in both sequences, and
+the max score over references.
+
+Synonym data is NOT vendorable (WordNet license/size), so the stage is
+a hook: pass ``Meteor(synonyms=...)`` a :class:`SynonymTable`, a
+``{word: [synset_ids]}`` dict, a JSON file of that mapping, or a
+directory in the nltk WordNet corpus layout (``index.noun`` etc.); or
+set ``$VIDSITU_METEOR_SYNONYMS`` to such a path to enable it through
+the evl_fns scorer registry. Without data the scorer stays exact+stem
+and is exact-equal to nltk's meteor_score with synonyms off (asserted
+in tests). The synonym stage matches when the tokens' synset-id sets
+intersect; lookup is on the surface form with a Porter-stem fallback
+(WordNet indexes lemmas — nltk's choice of looking up stems misses
+entries like 'feline'->'felin'; the METEOR jar matches surfaces).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+import json
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple, Union
 
 _VOWELS = "aeiou"
 
@@ -188,6 +202,78 @@ class PorterStemmer:
         return w
 
 
+class SynonymTable:
+    """word -> frozenset(synset ids); two words are synonyms when their
+    id sets intersect."""
+
+    def __init__(self, word_to_ids: Dict[str, List[str]]):
+        self._t = {
+            w.lower(): frozenset(ids) for w, ids in word_to_ids.items()
+        }
+
+    def ids(self, word: str) -> frozenset:
+        return self._t.get(word, frozenset())
+
+    def synonyms(self, a: str, b: str) -> bool:
+        ia = self.ids(a)
+        return bool(ia) and bool(ia & self.ids(b))
+
+    def __len__(self) -> int:
+        return len(self._t)
+
+    @classmethod
+    def from_json(cls, path) -> "SynonymTable":
+        with open(path) as f:
+            return cls(json.load(f))
+
+    @classmethod
+    def from_wordnet_dir(cls, path) -> "SynonymTable":
+        """Parse ``index.{noun,verb,adj,adv}`` (nltk WordNet corpus
+        layout): each line is ``lemma pos synset_cnt p_cnt [ptrs...]
+        sense_cnt tagsense_cnt offset...`` with the last ``synset_cnt``
+        fields being the synset offsets."""
+        table: Dict[str, set] = {}
+        found = False
+        for pos in ("noun", "verb", "adj", "adv"):
+            p = Path(path) / f"index.{pos}"
+            if not p.exists():
+                continue
+            found = True
+            with open(p, encoding="utf-8", errors="replace") as f:
+                for line in f:
+                    if line.startswith(" "):
+                        continue  # license header
+                    fields = line.split()
+                    if len(fields) < 5:
+                        continue
+                    lemma = fields[0].replace("_", " ").lower()
+                    n_syn = int(fields[2])
+                    offsets = fields[-n_syn:]
+                    table.setdefault(lemma, set()).update(
+                        f"{pos}.{off}" for off in offsets
+                    )
+        if not found:
+            raise FileNotFoundError(
+                f"no index.{{noun,verb,adj,adv}} under {path}"
+            )
+        return cls({w: sorted(ids) for w, ids in table.items()})
+
+    @classmethod
+    def load(cls, spec) -> Optional["SynonymTable"]:
+        """Accept a SynonymTable / mapping / JSON path / WordNet dir /
+        None."""
+        if spec is None:
+            return None
+        if isinstance(spec, cls):
+            return spec
+        if isinstance(spec, dict):
+            return cls(spec)
+        p = Path(spec)
+        if p.is_dir():
+            return cls.from_wordnet_dir(p)
+        return cls.from_json(p)
+
+
 def _match_stage(hyp_items, ref_items):
     """One matching stage with the alignment order of the classic
     implementation (as in nltk's _match_enums): hypothesis words scanned
@@ -212,16 +298,55 @@ def _match_stage(hyp_items, ref_items):
     return matches, un_h, ref_avail
 
 
-def _align(hyp: List[str], ref: List[str], stemmer: PorterStemmer):
-    """Stage-wise alignment: exact, then Porter stems. Returns a list of
-    (hyp_ix, ref_ix) matches."""
+def _synonym_stage(hyp_items, ref_items, table: SynonymTable,
+                   stemmer: "PorterStemmer"):
+    """Match leftover tokens whose synset-id sets intersect, with the
+    same reverse-scan greedy order as the surface stages. Lookup is on
+    the surface form (WordNet indexes lemmas, e.g. 'feline' not 'felin')
+    with a Porter-stem fallback so inflections still resolve."""
+
+    def ids(word: str) -> frozenset:
+        got = table.ids(word)
+        return got if got else table.ids(stemmer.stem(word))
+
+    ref_avail = list(ref_items)
+    matches: List[Tuple[int, int]] = []
+    for i in reversed(range(len(hyp_items))):
+        idx_h, word = hyp_items[i]
+        ih = ids(word)
+        if not ih:
+            continue
+        for j in reversed(range(len(ref_avail))):
+            if ih & ids(ref_avail[j][1]):
+                matches.append((idx_h, ref_avail[j][0]))
+                ref_avail.pop(j)
+                break
+    return matches
+
+
+def _align(
+    hyp: List[str],
+    ref: List[str],
+    stemmer: PorterStemmer,
+    syn_table: Optional[SynonymTable] = None,
+):
+    """Stage-wise alignment: exact, Porter stems, then (optional)
+    synonyms over the stemmed leftovers — nltk's stage order. Returns a
+    list of (hyp_ix, ref_ix) matches."""
     hyp_items = list(enumerate(hyp))
     ref_items = list(enumerate(ref))
     exact, hyp_items, ref_items = _match_stage(hyp_items, ref_items)
+    orig_h, orig_r = dict(hyp_items), dict(ref_items)
     stem_h = [(i, stemmer.stem(w)) for i, w in hyp_items]
     stem_r = [(j, stemmer.stem(w)) for j, w in ref_items]
-    stems, _, _ = _match_stage(stem_h, stem_r)
-    return exact + stems
+    stems, stem_h, stem_r = _match_stage(stem_h, stem_r)
+    if syn_table is None:
+        return exact + stems
+    # leftover ORIGINAL surface forms (indices survive the stem stage)
+    left_h = [(i, orig_h[i]) for i, _ in stem_h]
+    left_r = [(j, orig_r[j]) for j, _ in stem_r]
+    syns = _synonym_stage(left_h, left_r, syn_table, stemmer)
+    return exact + stems + syns
 
 
 def _count_chunks(matches: List[Tuple[int, int]]) -> int:
@@ -242,6 +367,7 @@ def meteor_sentence(
     beta: float = 3.0,
     gamma: float = 0.5,
     stemmer: PorterStemmer = None,
+    syn_table: Optional[SynonymTable] = None,
 ) -> float:
     """Max METEOR over references for one hypothesis string."""
     stemmer = stemmer or PorterStemmer()
@@ -251,7 +377,7 @@ def meteor_sentence(
         rtoks = ref.lower().split()
         if not htoks or not rtoks:
             continue
-        matches = _align(htoks, rtoks, stemmer)
+        matches = _align(htoks, rtoks, stemmer, syn_table)
         m = len(matches)
         if m == 0:
             continue
@@ -268,10 +394,20 @@ class Meteor:
     """compute_score(gts, res) -> (mean score, per-sentence scores),
     coco-caption scorer API."""
 
-    def __init__(self, alpha: float = 0.9, beta: float = 3.0,
-                 gamma: float = 0.5):
+    def __init__(
+        self,
+        alpha: float = 0.9,
+        beta: float = 3.0,
+        gamma: float = 0.5,
+        synonyms: Union[None, str, Dict, SynonymTable] = "env",
+    ):
         self.alpha, self.beta, self.gamma = alpha, beta, gamma
         self._stemmer = PorterStemmer()
+        if synonyms == "env":
+            # default hook: $VIDSITU_METEOR_SYNONYMS enables the stage
+            # through the evl_fns scorer registry without config plumbing
+            synonyms = os.environ.get("VIDSITU_METEOR_SYNONYMS") or None
+        self.syn_table = SynonymTable.load(synonyms)
 
     def compute_score(self, gts: Dict, res: Dict):
         scores = []
@@ -281,7 +417,7 @@ class Meteor:
             scores.append(
                 meteor_sentence(
                     hypo[0], list(gts[_id]), self.alpha, self.beta,
-                    self.gamma, self._stemmer,
+                    self.gamma, self._stemmer, self.syn_table,
                 )
             )
         mean = sum(scores) / max(len(scores), 1)
