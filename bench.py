@@ -175,6 +175,83 @@ def bench_srl_decode(bs: int = 16, iters: int = 5, beam: int = 1) -> dict:
     }
 
 
+def bench_host_feed(segments: int = 4, iters: int = 3) -> dict:
+    """Host input-pipeline rates (no TPU): JPEG-decode clips/s vs
+    decoded-uint8 frame-cache clips/s at the real 224p geometry.
+
+    Quantifies the feed gap behind the featext device rate: the device
+    consumes ~696 clips/s (~13 GB/s decoded frames); this prints what
+    THIS host can feed by decoding JPEGs every epoch (the reference's
+    strategy, dat_loader.py:454-475) vs reading the one-time cache
+    (data/frames.write_segment_cache)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from PIL import Image
+
+    from vidsitu_tpu.data.frames import load_event_clips, write_segment_cache
+
+    class _VidCfg:
+        reverse_input_channel = False
+        arch = "slowfast"
+
+        class slowfast:
+            alpha = 4
+
+        mean = [0.45, 0.45, 0.45]
+        std = [0.225, 0.225, 0.225]
+
+    root = tempfile.mkdtemp(prefix="feedbench_")
+    frames = f"{root}/frames"
+    cache = f"{root}/cache"
+    rng = np.random.default_rng(0)
+    segs = [f"v_seg_{i}" for i in range(segments)]
+    cent = {f"Ev{e}": 30 + 60 * (e - 1) for e in range(1, 6)}
+    try:
+        for seg in segs:
+            d = f"{frames}/{seg}"
+            import os
+
+            os.makedirs(d, exist_ok=True)
+            for ix in range(1, 301):
+                arr = rng.integers(0, 255, (224, 224, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(f"{d}/{seg}_{ix:06d}.jpg",
+                                          quality=85)
+
+        def run(cache_dir, keep_uint8=False):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                for seg in segs:
+                    load_event_clips(
+                        frames, seg, cent, frm_seq_len=64, sampling_rate=2,
+                        vid_cfg=_VidCfg, out_hw=224, cache_dir=cache_dir,
+                        cache_write=False, keep_uint8=keep_uint8,
+                    )
+            return segments * 5 * iters / (time.perf_counter() - t0)
+
+        jpeg_rate = run(None)
+        t0 = time.perf_counter()
+        for seg in segs:
+            write_segment_cache(frames, seg, cache, out_hw=224)
+        build_s_per_seg = (time.perf_counter() - t0) / segments
+        cache_rate = run(cache)
+        # cache + tpu.on_device_preproc: ship uint8, normalize on-device —
+        # the host does pure memmap slicing
+        cache_u8_rate = run(cache, keep_uint8=True)
+        return {
+            "metric": "host_feed_cache_clips_per_sec",
+            "value": round(cache_rate, 1),
+            "unit": "clips/sec",
+            "vs_baseline": round(cache_rate / max(jpeg_rate, 1e-9), 2),
+            "jpeg_decode_clips_per_sec": round(jpeg_rate, 1),
+            "cache_uint8_clips_per_sec": round(cache_u8_rate, 1),
+            "cache_build_sec_per_segment": round(build_s_per_seg, 2),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def bench_vb_train(b: int = 8, iters: int = 4) -> dict:
     """SlowFast-R50 8x8 verb-model TRAINING throughput (fwd+bwd+Adam+BN),
     videos/sec/chip at the real geometry, steps chained via lax.scan."""
@@ -275,6 +352,10 @@ if __name__ == "__main__":
         if "bs" in kw:
             kw["b"] = kw.pop("bs")
         print(json.dumps(bench_vb_train(**kw)))
+    elif which == "feed":
+        if "bs" in kw:
+            kw["segments"] = kw.pop("bs")
+        print(json.dumps(bench_host_feed(**kw)))
     elif which == "featext":
         if "bs" in kw:
             kw["clips"] = kw.pop("bs")
