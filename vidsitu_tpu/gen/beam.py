@@ -81,10 +81,27 @@ def tile_for_beams(tree: Any, beam_size: int) -> Any:
 
 
 def _gather_beams(tree: Any, beam_idx: jnp.ndarray, batch: int, beam: int):
-    """Select beams: leaf (B*K, ...) -> rows beam_idx (B, K) within batch."""
+    """Select beams: leaf (B*K, ...) -> rows beam_idx (B, K) within batch.
+
+    Float leaves (the KV cache) are selected with a one-hot batched
+    matmul instead of take_along_axis: the gather HLO moves the cache at
+    ~58 GB/s on TPU while the (B,K,K)x(B,K,F) dot runs at memory speed —
+    measured 74.5 -> 9-ish ms/video on beam-5 decode (benchmarks/
+    micro13, BENCH.md round 3). Selection weights are exact 0/1, so the
+    result is bit-identical to the gather. Integer leaves keep
+    take_along_axis.
+    """
+    onehot = jax.nn.one_hot(beam_idx, beam)  # (B, K_new, K_old)
 
     def gather(x):
         xs = x.reshape((batch, beam) + x.shape[1:])
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            flat = xs.reshape(batch, beam, -1)
+            out = jax.lax.dot_general(
+                onehot.astype(x.dtype), flat,
+                (((2,), (1,)), ((0,), (0,))),
+            )
+            return out.reshape((batch * beam,) + x.shape[1:])
         return jnp.take_along_axis(
             xs,
             beam_idx.reshape((batch, beam) + (1,) * (x.ndim - 1)),
