@@ -1,0 +1,40 @@
+"""Pallas row-select cache gather: correctness (interpret mode) + the
+opt-in routing in gen/beam (VIDSITU_PALLAS_BEAM_GATHER)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vidsitu_tpu.gen.beam import _gather_beams
+from vidsitu_tpu.ops.beam_gather import beam_gather_rows
+
+
+def test_beam_gather_rows_matches_numpy():
+    k = jax.random.PRNGKey(0)
+    for r, f in ((20, 384), (12, 128), (40, 2560)):
+        x = jax.random.normal(k, (r, f), jnp.float32)
+        idx = jax.random.randint(jax.random.PRNGKey(r), (r,), 0, r)
+        out = beam_gather_rows(x, idx, interpret=True)
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(x)[np.asarray(idx)]
+        )
+
+
+def test_gather_beams_dot_path_is_exact():
+    """The production one-hot matmul selection is bit-identical to the
+    take_along_axis gather for float and int leaves."""
+    k = jax.random.PRNGKey(1)
+    batch, beam = 4, 5
+    tree = {
+        "f": jax.random.normal(k, (batch * beam, 7, 128), jnp.bfloat16),
+        "i": jax.random.randint(k, (batch * beam, 3), 0, 99),
+    }
+    beam_idx = jax.random.randint(k, (batch, beam), 0, beam)
+    got = _gather_beams(tree, beam_idx, batch, beam)
+    for key in tree:
+        xs = np.asarray(tree[key]).reshape((batch, beam) + tree[key].shape[1:])
+        idx = np.asarray(beam_idx)
+        exp = np.stack(
+            [xs[b][idx[b]] for b in range(batch)]
+        ).reshape(np.asarray(tree[key]).shape)
+        np.testing.assert_array_equal(np.asarray(got[key]), exp, err_msg=key)

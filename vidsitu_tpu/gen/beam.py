@@ -92,10 +92,24 @@ def _gather_beams(tree: Any, beam_idx: jnp.ndarray, batch: int, beam: int):
     take_along_axis.
     """
     onehot = jax.nn.one_hot(beam_idx, beam)  # (B, K_new, K_old)
+    use_pallas = False
+    if _pallas_gather_enabled():
+        from ..ops.beam_gather import beam_gather_rows
+
+        src_rows = (
+            jnp.arange(batch, dtype=jnp.int32)[:, None] * beam + beam_idx
+        ).reshape(-1)
+        use_pallas = True
 
     def gather(x):
         xs = x.reshape((batch, beam) + x.shape[1:])
         if jnp.issubdtype(x.dtype, jnp.floating):
+            flat_len = int(xs.size // (batch * beam))
+            if use_pallas and flat_len % 128 == 0:
+                out = beam_gather_rows(
+                    x.reshape(batch * beam, flat_len), src_rows
+                )
+                return out.reshape((batch * beam,) + x.shape[1:])
             flat = xs.reshape(batch, beam, -1)
             out = jax.lax.dot_general(
                 onehot.astype(x.dtype), flat,
@@ -109,6 +123,15 @@ def _gather_beams(tree: Any, beam_idx: jnp.ndarray, batch: int, beam: int):
         ).reshape((batch * beam,) + x.shape[1:])
 
     return jax.tree.map(gather, tree)
+
+
+def _pallas_gather_enabled() -> bool:
+    """Opt-in pallas row-DMA cache gather (ops/beam_gather): OFF by
+    default — the one-hot dot is the measured production path (BENCH.md
+    round 3); env VIDSITU_PALLAS_BEAM_GATHER=1 enables re-measurement."""
+    import os
+
+    return os.environ.get("VIDSITU_PALLAS_BEAM_GATHER", "") == "1"
 
 
 def _banned_ngram_mask(
