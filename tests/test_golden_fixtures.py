@@ -196,3 +196,63 @@ def test_golden_scores_on_test_splits(synth_test30, task, pred, split, keys):
     )
     for k in keys:
         assert k in out and np.isfinite(out[k]), (k, out)
+
+
+# ---------------------------------------------------------------------------
+# pinned regression scores
+# ---------------------------------------------------------------------------
+
+# Exact scores of the golden prediction pickles against the seed-11
+# synthetic GT. The GT is synthetic so the VALUES are meaningless as
+# quality numbers — but they are fully deterministic (synth seed 11,
+# the fixed np.random.seed(5) GT permutation, the golden pkls), so they
+# pin the ENTIRE scoring stack numerically: any change to CIDEr idf,
+# BLEU smoothing, ROUGE beta, coref counting, macro grouping, or the
+# pkl prep path flips them even while the friendly hand-case tests
+# still pass. If a deliberate fixture/generator change invalidates
+# them, recompute with the script in the test docstring.
+PINNED_VB = {
+    "Per_Ev_Top_1": 0.466666666667,
+    "Per_Ev_Top_5": 0.94,
+    "Per_Vid_Top_1": 0.033333333333,
+    "recall_macro_1_th_9": 0.276199494949,
+}
+PINNED_VBARG = {
+    "cider": 0.181973403076,
+    "bleu_1": 0.275795875836,
+    "bleu_4": 0.069041129552,
+    "rouge": 0.268465888896,
+    "mentions": 0.709766162311,
+    "muc": 0.161747464767,
+    "bcub": 0.52453316864,
+    "ceafe": 0.350501538308,
+    "lea": 0.188005965862,
+    "lea_soft": 0.089756150358,
+    "MacroVb_cider": 0.193158406737,
+    "MacroArg_cider": 0.09702602629,
+    "Arg0_cider": 0.257351174578,
+    "AScn_rouge": 0.363328569484,
+}
+PINNED_EVREL = {"Top_1": 0.220125786164, "Macro_Top_1": 0.231097027972,
+                "Len": 159.0}
+
+
+@pytest.mark.parametrize(
+    "task,pred,pins",
+    [
+        ("vb", "vb_eg.pkl", PINNED_VB),
+        ("vb_arg", "vbarg_eg.pkl", PINNED_VBARG),
+        ("evrel", "evrel_eg.pkl", PINNED_EVREL),
+    ],
+)
+def test_golden_scores_pinned(synth30, task, pred, pins):
+    """Numeric regression pins for the whole metric stack (see comment
+    above; recompute by running evaluate_predictions on the golden pkls
+    against make_synth_dataset(seed=11, n_valid=30))."""
+    cfg, paths, root = synth30
+    out = _score_golden(cfg, paths, root, task, pred)
+    for k, v in pins.items():
+        np.testing.assert_allclose(
+            float(out[k]), v, rtol=0, atol=1e-9,
+            err_msg=f"{task}:{k} drifted — metric stack changed",
+        )
