@@ -97,5 +97,85 @@ def test_two_process_train_and_merged_eval(tmp_path):
     assert sorted({p["ann_idx"] for p in preds}) == [0, 1, 2, 3]
 
 
+def test_two_process_partial_sigterm_no_desync(tmp_path):
+    """SIGTERM delivered to ONLY ONE of two ranks: the epoch-boundary
+    all-reduce of the preempt flag (Learner._sync_preempt_flag) must
+    bring BOTH ranks into the checkpoint-and-exit branch — without it
+    the signaled rank returns while the other enters validate()'s
+    collectives and hangs."""
+    import signal
+    import time
+
+    paths = make_synth_dataset(tmp_path, n_train=8, n_valid=4, seed=78)
+    args = [f"--{k}={v}" for k, v in paths.items()]
+    cmd = [
+        sys.executable, "main.py", "mhpre", "--task_type=vb_arg",
+        "--mdl.mdl_name=tx_only", "--train.bs=4", "--train.bsv=4",
+        "--train.epochs=200", "--train.nw=0", "--train.nwv=0",
+        "--gen.max_len_b=20", "--run_final_val=False",
+        f"--misc.tmp_path={tmp_path}/tmp",
+    ] + TINY_TX + args
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            {
+                "JAX_PLATFORMS": "cpu",
+                "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+                "VIDSITU_DISTRIBUTED": "1",
+                "VIDSITU_COORD": f"127.0.0.1:{port}",
+                "VIDSITU_NPROCS": "2",
+                "VIDSITU_PROC_ID": str(pid),
+                "PYTHONPATH": str(REPO) + os.pathsep + env_get_pp(),
+            }
+        )
+        procs.append(
+            subprocess.Popen(
+                cmd, cwd=str(REPO), env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    # wait until training demonstrably started (the SIGTERM handler is
+    # installed inside fit(); signaling earlier kills the process with
+    # the default action), then signal rank 0 ONLY
+    ext_log = tmp_path / "tmp" / "ext_logs" / "mhpre.txt"
+    deadline = time.time() + 900
+    started = False
+    while time.time() < deadline:
+        if ext_log.exists() and "it " in ext_log.read_text():
+            started = True
+            break
+        if any(p.poll() is not None for p in procs):
+            break
+        time.sleep(1.0)
+    if not started:
+        for p in procs:
+            p.kill()
+        raise AssertionError(
+            "training never started within the deadline "
+            f"(rcs={[p.poll() for p in procs]})"
+        )
+    procs[0].send_signal(signal.SIGTERM)
+
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise AssertionError(
+                "rank hung after partial SIGTERM delivery (desync)"
+            )
+        outs.append((p.returncode, out))
+    for i, (rc, out) in enumerate(outs):
+        assert rc == 0, f"proc {i} failed:\n{out[-4000:]}"
+    log = (tmp_path / "tmp" / "txt_logs" / "mhpre.txt").read_text()
+    assert "preempted" in log
+    assert (tmp_path / "tmp" / "models" / "mhpre.preempt.ckpt").exists()
+
+
 def env_get_pp():
     return os.environ.get("PYTHONPATH", "")
