@@ -331,9 +331,13 @@ def beam_search(
         new_alive_seq = jnp.take_along_axis(
             grown, alive_sel[:, :, None], axis=1
         ).reshape(rows, seq_len)
-        # cache rows follow their beams
-        orig_beam = jnp.take_along_axis(beam_idx, alive_sel, axis=1)  # (B,K)
-        cache = _gather_beams(cache, orig_beam, batch_size, k)
+        # cache rows follow their beams; at k==1 every candidate comes
+        # from beam 0 (beam_idx = top_idx // vocab over k*V = V entries
+        # is identically 0), so the gather is the identity — skip the
+        # per-step full-cache copy entirely on the greedy path
+        if k > 1:
+            orig_beam = jnp.take_along_axis(beam_idx, alive_sel, axis=1)
+            cache = _gather_beams(cache, orig_beam, batch_size, k)
 
         return (
             t + 1,
