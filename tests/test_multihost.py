@@ -162,7 +162,10 @@ def test_two_process_partial_sigterm_no_desync(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            # generous: after the signal each rank finishes at most one
+            # full epoch + validation; on this 1-core host under full
+            # suite load that can take minutes
+            out, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
