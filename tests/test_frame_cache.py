@@ -86,6 +86,47 @@ def test_cached_batch_bit_identical_and_replaces_jpeg_reads(env, tmp_path):
         shutil.copytree(backup, frames_dir, dirs_exist_ok=True)
 
 
+def test_short_cache_track_treated_as_miss(env, tmp_path):
+    """A cache file with fewer frames than max_frms (written by a
+    different-geometry caller; filename keys on resolution only) must
+    not be sliced past or silently substitute different frames."""
+    from vidsitu_tpu.data.frames import load_event_clips, segment_cache_path
+
+    paths, root = env
+    frames_dir = paths["ds.vsitu.video_frms_tdir"]
+    import pathlib
+
+    seg = sorted(p.name for p in pathlib.Path(frames_dir).iterdir())[0]
+    cache_dir = tmp_path / "short_cache"
+    cache_dir.mkdir()
+    short = np.zeros((100, 32, 32, 3), np.uint8)
+    np.save(segment_cache_path(cache_dir, seg, 32), short)
+
+    class _V:
+        reverse_input_channel = False
+        arch = "slowfast"
+
+        class slowfast:
+            alpha = 4
+
+        mean = [0.45, 0.45, 0.45]
+        std = [0.225, 0.225, 0.225]
+
+    cent = {f"Ev{e}": 30 + 60 * (e - 1) for e in range(1, 6)}
+    got = load_event_clips(
+        frames_dir, seg, cent, frm_seq_len=64, sampling_rate=2, vid_cfg=_V,
+        max_frms=300, out_hw=32, cache_dir=str(cache_dir), cache_write=False,
+    )
+    ref = load_event_clips(
+        frames_dir, seg, cent, frm_seq_len=64, sampling_rate=2, vid_cfg=_V,
+        max_frms=300, out_hw=32,
+    )
+    # short cache ignored -> falls back to JPEG decode, bit-identical
+    np.testing.assert_array_equal(
+        got["frms_ev_fast_tensor"], ref["frms_ev_fast_tensor"]
+    )
+
+
 def test_prep_cli_builds_cache(env, tmp_path):
     import json
 

@@ -91,7 +91,10 @@ def test_wordnet_corpus_layout(tmp_path):
         "run v 1 1 @ 1 1 01926311\n"
         "sprint v 1 1 @ 1 0 01926311\n"
     )
+    # a zero-synset line must not pollute the table (fields[-0:] trap)
+    (wn / "index.adj").write_text("weird a 0 0 0 0\nother a 0 0 0 0\n")
     t = SynonymTable.from_wordnet_dir(wn)
+    assert not t.ids("weird") and not t.synonyms("weird", "other")
     assert t.synonyms("cat", "feline")
     assert not t.synonyms("cat", "dog")
     assert t.synonyms("run", "sprint")

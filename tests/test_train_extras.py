@@ -311,6 +311,28 @@ def test_preempt_consume_deletes_via_backend(env, backend):
     assert not side.exists()
 
 
+def test_epoch_dir_save_does_not_consume_preempt_ckpt(env):
+    """save_mdl_epochs writes to a dir resume never reads; such a save
+    must NOT delete the consumed preempt checkpoint (a hard crash after
+    it would otherwise lose the newest resumable state)."""
+    cfg = mk(env, "pkeep")
+    l1 = _make_learner(cfg)
+    l1.prepare_optimizer(1e-3)
+    l1.num_it = 5
+    l1.save_model_dict(l1.preempt_file)
+    cfg2 = mk(env, "pkeep", **{"train.resume": True, "train.load_opt": True})
+    l2 = _make_learner(cfg2)
+    assert l2.num_it == 5 and l2._stale_preempt is not None
+    l2.prepare_optimizer(1e-3)
+    # an epoch-dir save (resume-invisible) keeps the preempt file...
+    l2.model_epoch_dir.mkdir(parents=True, exist_ok=True)
+    l2.save_model_dict(l2.model_epoch_dir / "mdl_ep_1.ckpt")
+    assert l2.preempt_file.exists()
+    # ...while the best-model save (resume-visible) finally consumes it
+    l2.save_model_dict()
+    assert not l2.preempt_file.exists()
+
+
 def test_resume_without_load_opt_keeps_fresh_optimizer(env):
     cfg1 = mk(env, "resC", **{"train.use_reduce_lr_plateau": False})
     l1 = _make_learner(cfg1)

@@ -130,6 +130,12 @@ def load_event_clips(
             )
         if cpath.exists():
             track = np.load(cpath, mmap_mode="r")
+            if track.shape[0] < max_frms:
+                # cache written by a caller with a shorter track (the
+                # filename keys on resolution only): treat as a miss
+                # rather than index past / read different frames than
+                # the JPEG fallback would
+                track = None
     fast_lst = []
     slow_lst = []
     for ev in range(1, 6):

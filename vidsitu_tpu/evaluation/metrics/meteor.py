@@ -248,6 +248,10 @@ class SynonymTable:
                         continue
                     lemma = fields[0].replace("_", " ").lower()
                     n_syn = int(fields[2])
+                    if n_syn <= 0:
+                        # fields[-0:] would return the WHOLE line and
+                        # pollute the table with lemma/count fields
+                        continue
                     offsets = fields[-n_syn:]
                     table.setdefault(lemma, set()).update(
                         f"{pos}.{off}" for off in offsets
@@ -310,6 +314,7 @@ def _synonym_stage(hyp_items, ref_items, table: SynonymTable,
         return got if got else table.ids(stemmer.stem(word))
 
     ref_avail = list(ref_items)
+    ref_ids = [ids(w) for _, w in ref_avail]  # stem each ref word once
     matches: List[Tuple[int, int]] = []
     for i in reversed(range(len(hyp_items))):
         idx_h, word = hyp_items[i]
@@ -317,9 +322,10 @@ def _synonym_stage(hyp_items, ref_items, table: SynonymTable,
         if not ih:
             continue
         for j in reversed(range(len(ref_avail))):
-            if ih & ids(ref_avail[j][1]):
+            if ih & ref_ids[j]:
                 matches.append((idx_h, ref_avail[j][0]))
                 ref_avail.pop(j)
+                ref_ids.pop(j)
                 break
     return matches
 

@@ -111,9 +111,14 @@ def _gather_beams(tree: Any, beam_idx: jnp.ndarray, batch: int, beam: int):
                 )
                 return out.reshape((batch * beam,) + x.shape[1:])
             flat = xs.reshape(batch, beam, -1)
+            # Precision.HIGHEST: with default precision the TPU MXU
+            # truncates float32 operands to bfloat16, which would break
+            # the bit-identical claim for f32 KV caches (bf16 caches are
+            # exact either way: 0/1 weights select single terms)
             out = jax.lax.dot_general(
                 onehot.astype(x.dtype), flat,
                 (((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST,
             )
             return out.reshape((batch * beam,) + x.shape[1:])
         return jnp.take_along_axis(

@@ -550,12 +550,14 @@ class Learner:
         self.ckpt_backend.save(
             path, self.variables["params"], extra, self.opt_state, meta
         )
-        if self._stale_preempt is not None:
-            # a newer checkpoint now exists: the consumed preempt state is
+        if self._stale_preempt is not None and path == self.model_file:
+            # a newer checkpoint now exists AT A PATH RESUME ACTUALLY
+            # READS (resume looks at preempt_file then model_file, never
+            # the per-epoch dir), so the consumed preempt state is
             # finally safe to drop. Backend-mediated delete (orbax ckpts
             # are directories); rank-0-only to avoid cross-rank races.
             stale, self._stale_preempt = self._stale_preempt, None
-            if path != stale and jax.process_index() == 0:
+            if jax.process_index() == 0:
                 self.ckpt_backend.delete(stale)
 
     def load_model_dict(self, resume_path: str, load_opt: bool = False):
