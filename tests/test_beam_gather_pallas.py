@@ -38,3 +38,20 @@ def test_gather_beams_dot_path_is_exact():
             [xs[b][idx[b]] for b in range(batch)]
         ).reshape(np.asarray(tree[key]).shape)
         np.testing.assert_array_equal(np.asarray(got[key]), exp, err_msg=key)
+
+
+def test_beam_gather_rows_multi_matches_numpy():
+    from vidsitu_tpu.ops.beam_gather import beam_gather_rows_multi
+
+    k = jax.random.PRNGKey(3)
+    xs = [
+        jax.random.normal(jax.random.PRNGKey(i), (20, 128 * (i + 1)),
+                          jnp.float32)
+        for i in range(3)
+    ]
+    idx = jax.random.randint(k, (20,), 0, 20)
+    outs = beam_gather_rows_multi(xs, idx, interpret=True)
+    for x, o in zip(xs, outs):
+        np.testing.assert_array_equal(
+            np.asarray(o), np.asarray(x)[np.asarray(idx)]
+        )

@@ -92,24 +92,37 @@ def _gather_beams(tree: Any, beam_idx: jnp.ndarray, batch: int, beam: int):
     take_along_axis.
     """
     onehot = jax.nn.one_hot(beam_idx, beam)  # (B, K_new, K_old)
-    use_pallas = False
+    done = {}
     if _pallas_gather_enabled():
-        from ..ops.beam_gather import beam_gather_rows
+        # one pallas_call over ALL eligible leaves: each grid step DMAs
+        # one row of every leaf, raising the per-step transfer size
+        # (the limiter of the row-DMA kernel; see ops/beam_gather)
+        from ..ops.beam_gather import beam_gather_rows_multi
 
         src_rows = (
             jnp.arange(batch, dtype=jnp.int32)[:, None] * beam + beam_idx
         ).reshape(-1)
-        use_pallas = True
+        leaves, treedef = jax.tree.flatten(tree)
+        ok = [
+            i for i, leaf in enumerate(leaves)
+            if jnp.issubdtype(leaf.dtype, jnp.floating)
+            and (leaf.size // (batch * beam)) % 128 == 0
+        ]
+        if ok:
+            ins = [
+                leaves[i].reshape(batch * beam, -1) for i in ok
+            ]
+            outs = beam_gather_rows_multi(ins, src_rows)
+            done = {
+                id(leaves[i]): o.reshape(leaves[i].shape)
+                for i, o in zip(ok, outs)
+            }
 
     def gather(x):
+        if id(x) in done:
+            return done[id(x)]
         xs = x.reshape((batch, beam) + x.shape[1:])
         if jnp.issubdtype(x.dtype, jnp.floating):
-            flat_len = int(xs.size // (batch * beam))
-            if use_pallas and flat_len % 128 == 0:
-                out = beam_gather_rows(
-                    x.reshape(batch * beam, flat_len), src_rows
-                )
-                return out.reshape((batch * beam,) + x.shape[1:])
             flat = xs.reshape(batch, beam, -1)
             # Precision.HIGHEST: with default precision the TPU MXU
             # truncates float32 operands to bfloat16, which would break
