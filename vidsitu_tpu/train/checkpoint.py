@@ -164,7 +164,20 @@ class OrbaxBackend:
         if not (d / "tree").exists():
             return None
         self.wait()
-        raw = self._ckptr.restore(d / "tree")
+        # Restore every leaf as HOST numpy (metadata-driven RestoreArgs).
+        # The default restore re-attaches the jax.sharding recorded at
+        # save time, which no longer exists after an ELASTIC restart
+        # (different device count / mesh shape) and errors out. Host
+        # arrays are topology-free; the train step's in_shardings
+        # re-place them on whatever mesh the resumed run builds.
+        import jax
+        import numpy as np
+
+        mt = self._ckptr.metadata(d / "tree").item_metadata.tree
+        ra = jax.tree.map(
+            lambda _: self._ocp.RestoreArgs(restore_type=np.ndarray), mt
+        )
+        raw = self._ckptr.restore(d / "tree", restore_args=ra)
         meta = _meta_from_arrays(raw["meta"])
         meta_p = d.parent / (d.name + ".meta.json")
         if meta_p.exists():

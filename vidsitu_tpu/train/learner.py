@@ -523,13 +523,42 @@ class Learner:
         return losses
 
     # -- checkpointing (trn_utils.py:631-749) ---------------------------------------
+    def _fetch_host(self, tree):
+        """Device tree -> host values on every rank. COLLECTIVE when a
+        leaf is sharded across processes (multi-process FSDP): rank 0
+        alone cannot address remote shards, so all ranks gather
+        together before the rank-0 write. Host-side leaves pass
+        through; the result is topology-free (elastic restarts resume
+        it on any device count)."""
+        if tree is None:
+            return None
+        from jax.experimental import multihost_utils as mhu
+
+        def f(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                if x.is_fully_replicated:
+                    return np.asarray(x)
+                return np.asarray(mhu.process_allgather(x, tiled=True))
+            return x
+
+        return jax.tree.map(f, tree)
+
     def save_model_dict(self, path: Optional[Path] = None):
-        # pickle saves are a rank-0-only side effect (ref
-        # exec_func_if_main_proc); orbax saves are COLLECTIVE across JAX
-        # processes — every rank must participate or rank 0 deadlocks at
-        # the cross-process commit barrier
-        if not self.ckpt_backend.collective and jax.process_index() != 0:
-            return
+        params = self.variables["params"]
+        extra = {k: v for k, v in self.variables.items() if k != "params"}
+        opt_state = self.opt_state
+        if not self.ckpt_backend.collective:
+            # pickle saves are a rank-0-only side effect (ref
+            # exec_func_if_main_proc) — but the gather off the devices
+            # must run on EVERY rank first when params/opt shards live
+            # on other processes. Orbax saves are themselves collective
+            # (every rank participates in the commit barrier) and
+            # consume sharded device arrays natively.
+            params = self._fetch_host(params)
+            extra = self._fetch_host(extra)
+            opt_state = self._fetch_host(opt_state)
+            if jax.process_index() != 0:
+                return
         path = Path(path) if path else self.model_file
         meta = {
             "num_it": self.num_it,
@@ -546,10 +575,7 @@ class Learner:
             # reference does not persist RNG)
             "rng": np.asarray(self.rng).tolist(),
         }
-        extra = {k: v for k, v in self.variables.items() if k != "params"}
-        self.ckpt_backend.save(
-            path, self.variables["params"], extra, self.opt_state, meta
-        )
+        self.ckpt_backend.save(path, params, extra, opt_state, meta)
         if self._stale_preempt is not None and path == self.model_file:
             # a newer checkpoint now exists AT A PATH RESUME ACTUALLY
             # READS (resume looks at preempt_file then model_file, never
