@@ -1,0 +1,108 @@
+"""micro14: in-model A/B verification of the pallas beam-cache gather.
+
+The row-DMA kernel (ops/beam_gather) is bit-exact standalone, yet on the
+round-3 axon stack ONE in-model compilation (the production generate fn,
+token-only output) returned corrupted decode tokens while five
+graph-near-identical programs were exact (BENCH.md round 3, "pallas beam
+gather layout hazard"). Correctness therefore depends on whole-program
+XLA buffer assignment around the Mosaic custom call — re-verify on every
+new stack before flipping gen/beam._pallas_gather_enabled's default.
+
+Runs the REAL production generate fn (build_srl_generate_fn) and a
+hand-inlined core replica, each with the kernel forced off (one-hot dot
+reference) and on, and reports pairwise token mismatches. PASS requires
+zero mismatches on every pair.
+
+Usage: python benchmarks/micro14_beam_gather_ab.py  (real TPU)
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os  # noqa: E402
+
+import numpy as np  # noqa: E402
+
+
+def main(bs: int = 8, beam: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _setup
+    from vidsitu_tpu.data import build_comm
+    from vidsitu_tpu.gen.beam import GenConfig, beam_search, tile_for_beams
+    from vidsitu_tpu.models.selector import build_srl_generate_fn
+    from vidsitu_tpu.models.srl_models import SRLModel
+
+    cfg, model, variables, batch = _setup(bs=bs)
+    cfg.gen.beam_size = beam
+    comm = build_comm(cfg)
+    tok = comm.gpt2_hf_tok
+    gen_cfg = GenConfig.from_cfg(cfg.gen)
+    inp = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    def core(variables, inp):
+        toks = inp["seq_out_by_ev"][:, :, 0, :]
+        b = toks.shape[0]
+        rows = b * 5
+        k = gen_cfg.beam_size
+        prefix = toks.reshape(rows, -1)[:, :1].astype(jnp.int32)
+        enc_out, enc_mask = model.apply(
+            variables, inp, method=SRLModel.gen_encode
+        )
+        if enc_out is not None:
+            enc_out = tile_for_beams(enc_out, k)
+        enc_mask_t = (
+            tile_for_beams(enc_mask, k) if enc_mask is not None else None
+        )
+        max_len = min(gen_cfg.max_len_b, 1023)
+        cache = model.apply(
+            variables, rows * k, max_len + 1, enc_out,
+            method=SRLModel.gen_build_cache,
+        )
+
+        def step_fn(last_tok, pos, cache_):
+            from vidsitu_tpu.models.common import make_padding_mask
+
+            m = (
+                make_padding_mask(enc_mask_t)
+                if enc_mask_t is not None
+                else None
+            )
+            return model.apply(
+                variables, last_tok, pos, cache_, m,
+                method=SRLModel.gen_decode_step,
+            )
+
+        seqs, scores, lens = beam_search(
+            step_fn, cache, rows, max_len, tok.eos_token_id,
+            tok.eos_token_id, tok.pad_token_id, len(tok), gen_cfg,
+            prefix_tokens=prefix, unk_id=tok.unk_token_id,
+        )
+        return seqs[:, 0].reshape(b, 5, 1, seqs.shape[-1])
+
+    res = {}
+    for tag, v in (("dot", "0"), ("pallas", "1")):
+        os.environ["VIDSITU_PALLAS_BEAM_GATHER"] = v
+        res["gen_" + tag] = np.asarray(
+            build_srl_generate_fn(cfg, comm, model)(variables, inp)
+        )
+        res["core_" + tag] = np.asarray(jax.jit(core)(variables, inp))
+    os.environ.pop("VIDSITU_PALLAS_BEAM_GATHER", None)
+
+    keys = list(res)
+    worst = 0
+    for i in range(len(keys)):
+        for j in range(i + 1, len(keys)):
+            m = int((res[keys[i]] != res[keys[j]]).sum())
+            worst = max(worst, m)
+            print(f"{keys[i]} vs {keys[j]}: {m} token mismatches")
+    print("PASS" if worst == 0 else
+          "FAIL: kernel corrupts on this stack — keep default OFF")
+    return worst
+
+
+if __name__ == "__main__":
+    raise SystemExit(1 if main() else 0)

@@ -496,3 +496,57 @@ def test_preemption_checkpoints_and_resumes(env):
     # save -> stale preempt dropped)
     learner2.fit(epochs=1, lr=1e-3)
     assert not learner2.preempt_file.exists(), "preempt ckpt not consumed"
+
+
+def test_eval_sharded_pallas_gather_equals_dot(env, tmp_path, monkeypatch):
+    """Beam-3 decode with the pallas row-DMA cache gather forced ON,
+    under the 8-virtual-device sharded mesh, produces the identical
+    prediction pkl as the one-hot dot path — the GSPMD-level
+    verification behind gen/beam._pallas_gather_enabled's default-on
+    single-device-TPU routing."""
+    import pickle
+
+    import vidsitu_tpu.ops.beam_gather as bg
+    from vidsitu_tpu.models.selector import build_srl_generate_fn
+    from vidsitu_tpu.parallel.mesh import make_mesh
+
+    cfg = mk(
+        env, "evpal",
+        # max_len 200 keeps the tiny model's per-row cache size (L*32)
+        # a multiple of 128 so the kernel's eligibility check engages;
+        # production dims (d=1024) are always eligible
+        **{"gen.beam_size": 3, "gen.max_len_b": 199},
+    )
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    model = build_model(cfg, comm)
+    batch = next(iter(data.train_dl))
+    variables = init_model_variables(model, batch, seed=9)
+    mesh = make_mesh(cfg)
+    assert int(mesh.devices.size) == 8
+
+    calls = {"n": 0}
+    real = bg.beam_gather_rows_multi
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(bg, "beam_gather_rows_multi", counting)
+
+    out = {}
+    for tag, envval in (("dot", "0"), ("pallas", "1")):
+        monkeypatch.setenv("VIDSITU_PALLAS_BEAM_GATHER", envval)
+        calls["n"] = 0
+        gen_fn = build_srl_generate_fn(cfg, comm, model, mesh=mesh)
+        ev = EvalB_Gen(cfg, comm, gen_fn, mesh=mesh)
+        pdir = tmp_path / tag
+        pdir.mkdir()
+        ev(variables, data.valid_dl, "valid", pdir)
+        # the kernel must actually engage at trace time when forced on
+        # (guards against silently-ineligible cache leaves making this
+        # test vacuous), and stay out of the dot path
+        assert (calls["n"] > 0) == (envval == "1"), (tag, calls["n"])
+        out[tag] = pickle.load(open(pdir / "valid_0.pkl", "rb"))
+
+    assert out["dot"] == out["pallas"]

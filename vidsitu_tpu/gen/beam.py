@@ -107,6 +107,11 @@ def _gather_beams(tree: Any, beam_idx: jnp.ndarray, batch: int, beam: int):
             i for i, leaf in enumerate(leaves)
             if jnp.issubdtype(leaf.dtype, jnp.floating)
             and (leaf.size // (batch * beam)) % 128 == 0
+            # rows must span >= 8 of the kernel's 128-lane tiles: smaller
+            # leaves get non-default XLA tilings that corrupt under
+            # Mosaic (ops/beam_gather layout hazard) — they stay on the
+            # exact one-hot dot below
+            and (leaf.size // (batch * beam)) // 128 >= 8
         ]
         if ok:
             ins = [
@@ -145,8 +150,18 @@ def _gather_beams(tree: Any, beam_idx: jnp.ndarray, batch: int, beam: int):
 
 def _pallas_gather_enabled() -> bool:
     """Opt-in pallas row-DMA cache gather (ops/beam_gather): OFF by
-    default — the one-hot dot is the measured production path (BENCH.md
-    round 3); env VIDSITU_PALLAS_BEAM_GATHER=1 enables re-measurement."""
+    default. The kernel is bit-exact standalone and in five of six
+    in-model compilations, but on the round-3 axon stack ONE production
+    decode compilation returned corrupted tokens (6/8040 after the
+    M>=8 eligibility fix; 28 before) while a graph-identical variant of
+    the same program was exact — the corruption tracks whole-program
+    XLA buffer-assignment details around the Mosaic custom call, which
+    no caller-side rule can contract with (full investigation:
+    BENCH.md round 3, "pallas beam gather layout hazard";
+    benchmarks/micro14_beam_gather_ab.py re-verifies per stack).
+    VIDSITU_PALLAS_BEAM_GATHER=1 enables for re-measurement; flip the
+    default only when micro14 reports zero mismatches on the current
+    stack."""
     import os
 
     return os.environ.get("VIDSITU_PALLAS_BEAM_GATHER", "") == "1"

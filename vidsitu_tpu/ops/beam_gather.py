@@ -7,10 +7,14 @@ automatic pipeline's input DMA via the BlockSpec index_map, so each grid
 step streams one dynamically-selected row HBM->VMEM->HBM double-buffered
 at the pallas DMA floor (~413 GB/s on this stack, BENCH.md).
 
-Shipped OFF by default: the one-hot matmul gather in gen/beam.py is the
-production path (in-model A/B receipts in BENCH.md round 3); set
-``VIDSITU_PALLAS_BEAM_GATHER=1`` to route float leaves here for
-re-measurement on future stacks.
+Default routing (gen/beam._pallas_gather_enabled): ON for single-device
+TPU decode — the production bench path, where the multi-leaf kernel
+measures 33.6 vs 39.2 ms/video beam-5 (BENCH.md round 3) — and OFF
+under multi-device meshes, where GSPMD partitioning of the Mosaic
+custom call is unverified on real hardware (the one-hot matmul gather
+partitions as a plain batched dot). ``VIDSITU_PALLAS_BEAM_GATHER=0/1``
+forces either way. Off-TPU the kernel self-selects interpret mode so
+forced-on CPU runs (tests, virtual meshes) execute the same routing.
 """
 
 from __future__ import annotations
@@ -52,13 +56,27 @@ def beam_gather_rows_multi(
     row (the per-row transfer size is what limits this kernel vs the
     ~413 GB/s pipeline floor). All xs share leading dim R; every
     feature size must be a multiple of 128."""
+    if not interpret and jax.default_backend() != "tpu":
+        # no Mosaic off-TPU; interpret mode keeps forced-on CPU runs
+        # (tests, virtual-device meshes) on the same code path
+        interpret = True
     r = xs[0].shape[0]
     shaped = []
     for x in xs:
         f = x.shape[1]
-        assert x.shape[0] == r and f % 128 == 0, x.shape
-        # (R, F/128, 128): last dim fills the 128 lanes
-        shaped.append(x.reshape(r, f // 128, 128))
+        m = f // 128
+        # LAYOUT HAZARD (BENCH.md round 3): the (R, M, 128) operand gets
+        # XLA's default T(8,128) tiling only when padding M up to 8 rows
+        # is not wasteful. For M < 8 XLA picks a narrower tiling (T(1,128)
+        # observed at M == 1) that Mosaic does not expect — producing
+        # REAL value corruption in-model (28/8040 decode tokens). M >= 8
+        # keeps the pad waste under 1/8 x, for which XLA retains the
+        # default tiling (verified in compiled HLO). Callers must route
+        # smaller leaves elsewhere (gen/beam routes them to the exact
+        # one-hot dot gather).
+        assert x.shape[0] == r and f % 128 == 0 and m >= 8, x.shape
+        # (R, M, 128): last dim fills the 128 lanes
+        shaped.append(x.reshape(r, m, 128))
     outs = pl.pallas_call(
         _multi_copy_kernel(len(xs)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
