@@ -32,6 +32,30 @@ def read_img(img_fpath, out_hw: int = 224) -> np.ndarray:
     return np.asarray(img)
 
 
+def read_img_batch(
+    paths, out_hw: int = 224, threads: int = 1, fast: bool = False
+) -> np.ndarray:
+    """Decode a batch of JPEGs -> uint8 (N, out_hw, out_hw, 3).
+
+    Routes through the C++ batch core (native/jpeg_core.cpp: libjpeg +
+    Pillow-bit-identical fixed-point BICUBIC resample on a thread pool
+    — the TPU-native analog of the decode the reference pays inside
+    torch DataLoader workers, dat_loader.py:454-475) and falls back to
+    the per-frame PIL path when the core is unavailable
+    (VIDSITU_NO_NATIVE=1 / no toolchain / no libjpeg). ``fast=True``
+    uses DCT-scaled decode: faster, NOT pixel-identical to PIL — only
+    for opt-in cache building. The default path is bit-identical either
+    way (tests/test_native_jpeg.py).
+    """
+    from ..native import decode_resize_batch
+
+    out = decode_resize_batch(paths, out_hw, n_threads=threads, fast=fast)
+    if out is not None:
+        return out
+    # PIL fallback (ignores ``fast`` — exact is the only Python path)
+    return np.stack([read_img(p, out_hw=out_hw) for p in paths])
+
+
 def segment_cache_path(cache_dir, vid_seg_name: str, out_hw: int) -> Path:
     """Cache file for one segment's decoded frames, keyed by resolution
     (sampling geometry stays free: the full 300-frame track is cached)."""
@@ -44,6 +68,8 @@ def write_segment_cache(
     cache_dir,
     out_hw: int,
     max_frms: int = 300,
+    threads: int = 1,
+    fast: bool = False,
 ) -> Path:
     """One-time decode of a segment's JPEG track into a single uint8
     ``(T, H, W, 3)`` npy that the loader memmaps.
@@ -58,15 +84,15 @@ def write_segment_cache(
     path = segment_cache_path(cache_dir, vid_seg_name, out_hw)
     if path.exists():
         return path
-    arr = np.stack(
+    arr = read_img_batch(
         [
-            read_img(
-                f"{frm_dir}/{vid_seg_name}/{vid_seg_name}_{ix:06d}.jpg",
-                out_hw=out_hw,
-            )
+            f"{frm_dir}/{vid_seg_name}/{vid_seg_name}_{ix:06d}.jpg"
             for ix in range(1, max_frms + 1)
-        ]
-    ).astype(np.uint8)
+        ],
+        out_hw=out_hw,
+        threads=threads,
+        fast=fast,
+    )
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(f".tmp{os.getpid()}.npy")
     np.save(tmp, arr)
@@ -149,15 +175,13 @@ def load_event_clips(
         if track is not None:
             frms = np.asarray(track[idxs])
         else:
-            frms = np.stack(
+            frms = read_img_batch(
                 [
-                    read_img(
-                        f"{frm_dir}/{vid_seg_name}/"
-                        f"{vid_seg_name}_{ix + 1:06d}.jpg",
-                        out_hw=out_hw,
-                    )
+                    f"{frm_dir}/{vid_seg_name}/"
+                    f"{vid_seg_name}_{ix + 1:06d}.jpg"
                     for ix in idxs
-                ]
+                ],
+                out_hw=out_hw,
             )
         if not keep_uint8:
             frms = normalize_frames(frms, vid_cfg.mean, vid_cfg.std)

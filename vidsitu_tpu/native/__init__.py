@@ -5,6 +5,13 @@ a cache dir and returns a ctypes handle factory, or None when no
 toolchain is available / compilation fails / VIDSITU_NO_NATIVE=1 — the
 callers (tokenization/bpe.py) then keep the pure-Python path. The two
 implementations are asserted id-identical in tests/test_native_bpe.py.
+
+``load_jpeg_core()`` / ``decode_resize_batch()``: batch JPEG decode +
+Pillow-bit-identical resize on a C++ thread pool (jpeg_core.cpp) for
+the data loader's worker-side hot path (reference pays this per frame
+in torch DataLoader workers, dat_loader.py:454-475). Falls back to
+None the same way (additionally when libjpeg is absent); callers
+(data/frames.py) keep the PIL path.
 """
 
 from __future__ import annotations
@@ -24,8 +31,8 @@ _LIB = None
 _LIB_FAILED = False
 
 
-def _build_lib() -> Optional[Path]:
-    src = _SRC_DIR / "bpe_core.cpp"
+def _build(src_name: str, lib_stem: str, extra_flags=()) -> Optional[Path]:
+    src = _SRC_DIR / src_name
     cache = Path(
         os.environ.get(
             "VIDSITU_NATIVE_CACHE",
@@ -33,24 +40,30 @@ def _build_lib() -> Optional[Path]:
         )
     )
     cache.mkdir(parents=True, exist_ok=True)
-    lib = cache / f"libbpe_core_{sys.version_info[0]}.so"
+    lib = cache / f"lib{lib_stem}_{sys.version_info[0]}.so"
     if lib.exists() and lib.stat().st_mtime >= src.stat().st_mtime:
         return lib
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-        str(src), "-o", str(lib),
+        str(src), "-o", str(lib), *extra_flags,
     ]
     try:
         proc = subprocess.run(
             cmd, capture_output=True, text=True, timeout=300
         )
     except (OSError, subprocess.TimeoutExpired) as e:
-        _LOG.info("native bpe build unavailable: %s", e)
+        _LOG.info("native %s build unavailable: %s", lib_stem, e)
         return None
     if proc.returncode != 0:
-        _LOG.warning("native bpe build failed:\n%s", proc.stderr[-2000:])
+        _LOG.warning(
+            "native %s build failed:\n%s", lib_stem, proc.stderr[-2000:]
+        )
         return None
     return lib
+
+
+def _build_lib() -> Optional[Path]:
+    return _build("bpe_core.cpp", "bpe_core")
 
 
 def load_bpe_core():
@@ -118,3 +131,105 @@ class NativeBPE:
                 self._lib.bpe_destroy(self._handle)
         except Exception:
             pass
+
+
+_JPEG_LIB = None
+_JPEG_FAILED = False
+
+
+def load_jpeg_core():
+    """Returns the loaded jpeg ctypes library or None."""
+    global _JPEG_LIB, _JPEG_FAILED
+    if os.environ.get("VIDSITU_NO_NATIVE") == "1":
+        return None
+    if _JPEG_LIB is not None:
+        return _JPEG_LIB
+    if _JPEG_FAILED:
+        return None
+    lib_path = _build(
+        "jpeg_core.cpp", "jpeg_core",
+        # built per-host into the cache dir, so -march=native is safe;
+        # it vectorizes the resample inner loops
+        extra_flags=("-O3", "-march=native", "-ljpeg"),
+    )
+    if lib_path is None:
+        _JPEG_FAILED = True
+        return None
+    try:
+        lib = ctypes.CDLL(str(lib_path))
+    except OSError as e:
+        _LOG.warning("native jpeg load failed: %s", e)
+        _JPEG_FAILED = True
+        return None
+    lib.jpeg_decode_resize_batch.restype = ctypes.c_int32
+    lib.jpeg_decode_resize_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.jpeg_pillow_resize_rgb.restype = None
+    lib.jpeg_pillow_resize_rgb.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+    ]
+    _JPEG_LIB = lib
+    return _JPEG_LIB
+
+
+def decode_resize_batch(paths, out_hw: int, n_threads: int = 0,
+                        fast: bool = False):
+    """Decode JPEG ``paths`` -> uint8 (N, out_hw, out_hw, 3), or None
+    when the native core is unavailable (callers fall back to PIL).
+
+    ``fast=False`` is BIT-IDENTICAL to
+    ``np.asarray(Image.open(p).convert("RGB").resize((out_hw, out_hw)))``
+    (decode parity + Pillow's exact fixed-point BICUBIC resample,
+    tests/test_native_jpeg.py). ``fast=True`` decodes at the smallest
+    sufficient DCT scale first — faster, not pixel-identical.
+    ``n_threads=0`` uses the host's CPU count.
+
+    Raises FileNotFoundError/ValueError on unreadable or non-RGB-
+    decodable inputs (the PIL path would raise too).
+    """
+    import numpy as np
+
+    lib = load_jpeg_core()
+    if lib is None:
+        return None
+    paths = [str(p) for p in paths]
+    n = len(paths)
+    out = np.empty((n, out_hw, out_hw, 3), np.uint8)
+    if n == 0:
+        return out
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    if n_threads <= 0:
+        n_threads = os.cpu_count() or 1
+    rc = lib.jpeg_decode_resize_batch(
+        arr, n, out.ctypes.data_as(ctypes.c_void_p), out_hw, out_hw,
+        n_threads, 1 if fast else 0,
+    )
+    if rc != 0:
+        bad = paths[-rc - 1]
+        if not os.path.exists(bad):
+            raise FileNotFoundError(bad)
+        raise ValueError(f"native jpeg decode failed for {bad}")
+    return out
+
+
+def pillow_resize_rgb(img, out_w: int, out_h: int):
+    """Native Pillow-exact BICUBIC resample of a uint8 (H, W, 3) array
+    (bit-parity test hook); None when the core is unavailable."""
+    import numpy as np
+
+    lib = load_jpeg_core()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    assert c == 3, img.shape
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    lib.jpeg_pillow_resize_rgb(
+        img.ctypes.data_as(ctypes.c_void_p), w, h,
+        out.ctypes.data_as(ctypes.c_void_p), out_w, out_h,
+    )
+    return out

@@ -127,6 +127,18 @@ def main(argv=None):
     ap.add_argument("--cache_dir", default="./data/vsitu_frame_cache")
     ap.add_argument("--out_hw", type=int, default=224)
     ap.add_argument("--max_workers", type=int, default=8)
+    ap.add_argument(
+        "--decode_threads", type=int, default=1,
+        help="C++ decode threads per segment (build_frame_cache); "
+             "total decode parallelism = max_workers * decode_threads",
+    )
+    ap.add_argument(
+        "--fast_decode", action="store_true",
+        help="build_frame_cache only: DCT-scaled JPEG decode (2-4x "
+             "faster on large frames, pixels NOT bit-identical to the "
+             "reference's PIL preproc — the cache file does not record "
+             "this, so keep exact/fast caches in separate cache_dirs)",
+    )
     args = ap.parse_args(argv)
 
     with open(args.split_file) as f:
@@ -140,7 +152,8 @@ def main(argv=None):
 
         def one_seg(s):
             return write_segment_cache(
-                args.frames_dir, s, args.cache_dir, out_hw=args.out_hw
+                args.frames_dir, s, args.cache_dir, out_hw=args.out_hw,
+                threads=args.decode_threads, fast=args.fast_decode,
             )
 
         res = run_pool(one_seg, segs, max_workers=args.max_workers)
