@@ -514,8 +514,11 @@ def test_eval_sharded_pallas_gather_equals_dot(env, tmp_path, monkeypatch):
         env, "evpal",
         # max_len 200 keeps the tiny model's per-row cache size (L*32)
         # a multiple of 128 so the kernel's eligibility check engages;
-        # production dims (d=1024) are always eligible
-        **{"gen.beam_size": 3, "gen.max_len_b": 199},
+        # production dims (d=1024) are always eligible. ancestry_beam
+        # off: this test verifies the GATHER path's pallas routing,
+        # which ancestry mode (the default) bypasses entirely
+        **{"gen.beam_size": 3, "gen.max_len_b": 199,
+           "tpu.ancestry_beam": False},
     )
     comm = build_comm(cfg)
     data = get_data(cfg)
@@ -550,3 +553,37 @@ def test_eval_sharded_pallas_gather_equals_dot(env, tmp_path, monkeypatch):
         out[tag] = pickle.load(open(pdir / "valid_0.pkl", "rb"))
 
     assert out["dot"] == out["pallas"]
+
+
+def test_eval_sharded_ancestry_equals_gather(env, tmp_path):
+    """Beam-3 decode in ancestry mode (the default: slot-major cache +
+    one-hot ancestor selection inside attention) produces the identical
+    prediction pkl as the full-cache gather path under the
+    8-virtual-device sharded mesh — the GSPMD-level verification of
+    gen/beam.ancestry_reorder's routing (the reshape (B*K,...) ->
+    (B,K,...) inside attend_ancestry must stay chip-local)."""
+    import pickle
+
+    from vidsitu_tpu.models.selector import build_srl_generate_fn
+    from vidsitu_tpu.parallel.mesh import make_mesh
+
+    cfg = mk(env, "evanc", **{"gen.beam_size": 3, "gen.max_len_b": 40})
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    model = build_model(cfg, comm)
+    batch = next(iter(data.train_dl))
+    variables = init_model_variables(model, batch, seed=9)
+    mesh = make_mesh(cfg)
+    assert int(mesh.devices.size) == 8
+
+    out = {}
+    for tag, anc in (("gather", False), ("ancestry", True)):
+        cfg.tpu.ancestry_beam = anc
+        gen_fn = build_srl_generate_fn(cfg, comm, model, mesh=mesh)
+        ev = EvalB_Gen(cfg, comm, gen_fn, mesh=mesh)
+        pdir = tmp_path / tag
+        pdir.mkdir()
+        ev(variables, data.valid_dl, "valid", pdir)
+        out[tag] = pickle.load(open(pdir / "valid_0.pkl", "rb"))
+
+    assert out["gather"] == out["ancestry"]

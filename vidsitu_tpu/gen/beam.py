@@ -148,6 +148,44 @@ def _gather_beams(tree: Any, beam_idx: jnp.ndarray, batch: int, beam: int):
     return jax.tree.map(gather, tree)
 
 
+def ancestry_reorder(cache: Any, orig_beam: jnp.ndarray, batch: int,
+                     beam: int, t: jnp.ndarray) -> Any:
+    """Beam reorder for ancestry-mode caches: permute ONLY the tiny
+    (B, K, L) int32 ancestry table; the KV leaves stay slot-major and
+    ancestor rows are selected inside attention
+    (models/transformer.MultiHeadAttention.attend_ancestry).
+
+    This removes the per-step full-cache gather — the measured 96% of
+    beam-5 decode cost (BENCH.md round-3 decomposition) — replacing
+    fairseq's reorder_incremental_state (seq_gen.py:902-913) with an
+    index permutation.
+
+    Invariants:
+      * before step s's attention, ``anc[:, :, s]`` is the identity (the
+        step writes its own slot's K/V row at position s);
+      * after this reorder, ``anc[b, k, t'] `` names the cache slot whose
+        position-t' row belongs to NEW beam k's history, for all t' <= t.
+    """
+    anc = cache["anc"]
+    k_ids = jnp.arange(beam, dtype=anc.dtype)[None, :]
+    # rows written THIS step (position t) belong to their own slot
+    anc = jax.lax.dynamic_update_slice(
+        anc, jnp.tile(k_ids[:, :, None], (batch, 1, 1)), (0, 0, t)
+    )
+    anc = jnp.take_along_axis(
+        anc, orig_beam[:, :, None].astype(anc.dtype), axis=1
+    )
+    # restore the identity invariant for the next write position (the
+    # final iteration's update lands on a dead slot: dynamic_update_slice
+    # clamps t+1 into bounds, and the loop exits before reading it)
+    anc = jax.lax.dynamic_update_slice(
+        anc, jnp.tile(k_ids[:, :, None], (batch, 1, 1)), (0, 0, t + 1)
+    )
+    new = dict(cache)
+    new["anc"] = anc
+    return new
+
+
 def _pallas_gather_enabled() -> bool:
     """Opt-in pallas row-DMA cache gather (ops/beam_gather): OFF by
     default. The kernel is bit-exact standalone and in five of six
@@ -203,6 +241,9 @@ def beam_search(
     gen_cfg: GenConfig = GenConfig(),
     prefix_tokens: Optional[jnp.ndarray] = None,
     unk_id: Optional[int] = None,
+    reorder_cache_fn: Optional[
+        Callable[[Any, jnp.ndarray, int, int, jnp.ndarray], Any]
+    ] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run beam search.
 
@@ -211,6 +252,9 @@ def beam_search(
                (logits (B*K, V) or (B*K, 1, V), new cache). The cache must
                already be tiled to B*K rows (see ``tile_for_beams``).
       prefix_tokens: (B, P) forced first tokens (verb forcing in SRL decode).
+      reorder_cache_fn: optional (cache, orig_beam (B,K), batch, beam, t)
+               -> cache, replacing the default full-cache `_gather_beams`
+               (used by ancestry-mode decode, see ``ancestry_reorder``).
 
     Returns:
       seqs:    (B, K, max_len+1) generated tokens (bos stripped; up to
@@ -370,7 +414,10 @@ def beam_search(
         # per-step full-cache copy entirely on the greedy path
         if k > 1:
             orig_beam = jnp.take_along_axis(beam_idx, alive_sel, axis=1)
-            cache = _gather_beams(cache, orig_beam, batch_size, k)
+            if reorder_cache_fn is not None:
+                cache = reorder_cache_fn(cache, orig_beam, batch_size, k, t)
+            else:
+                cache = _gather_beams(cache, orig_beam, batch_size, k)
 
         return (
             t + 1,

@@ -8,7 +8,12 @@ from typing import Any, Callable, Dict
 import jax.numpy as jnp
 
 from ..models.srl_models import SRLModel
-from .beam import GenConfig, beam_search, tile_for_beams
+from .beam import (
+    GenConfig,
+    ancestry_reorder,
+    beam_search,
+    tile_for_beams,
+)
 
 SRL_DECODE_LEN = 60  # fallback when cfg.gen.max_len_b is unset (<=0)
 
@@ -24,6 +29,7 @@ def make_srl_generator(
     max_len: int = 0,
     max_positions: int = 1024,
     mesh=None,
+    ancestry: bool = True,
 ) -> Callable[[Any, Dict[str, jnp.ndarray]], jnp.ndarray]:
     """Build a jitted generate(variables, inp) -> (B, 5, 1, max_len).
 
@@ -65,6 +71,17 @@ def make_srl_generator(
             variables, rows * k, max_len + 1, enc_out,
             method=SRLModel.gen_build_cache,
         )
+        reorder_fn = None
+        if ancestry and k > 1:
+            # ancestry-mode beam decode: KV rows stay slot-major; the
+            # (rows, K, L) int32 table below replaces the per-step
+            # full-cache gather (gen/beam.ancestry_reorder,
+            # transformer.attend_ancestry)
+            cache["anc"] = jnp.tile(
+                jnp.arange(k, dtype=jnp.int32)[None, :, None],
+                (rows, 1, max_len + 1),
+            )
+            reorder_fn = ancestry_reorder
 
         def step_fn(last_tok, pos, cache_):
             from ..models.common import make_padding_mask
@@ -88,6 +105,7 @@ def make_srl_generator(
             gen_cfg=gen_cfg,
             prefix_tokens=prefix,
             unk_id=unk_id,
+            reorder_cache_fn=reorder_fn,
         )
         # top beam only, shaped like the reference out_sents (B, 5, 1, L);
         # L = max_len + 1 (content budget + terminating eos)

@@ -108,4 +108,5 @@ def build_srl_generate_fn(cfg, comm, model, mesh=None):
         unk_id=tok.unk_token_id,
         max_positions=max_positions,
         mesh=mesh,
+        ancestry=bool(cfg.tpu.get("ancestry_beam", True)),
     )

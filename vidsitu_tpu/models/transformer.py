@@ -146,6 +146,61 @@ class MultiHeadAttention(nn.Module):
         ctx = jnp.einsum("bhts,bshd->bthd", probs, v)
         return self.out_proj(ctx)
 
+    def attend_ancestry(
+        self,
+        q_in: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        anc: jnp.ndarray,
+        mask: Optional[jnp.ndarray],
+        deterministic: bool,
+    ) -> jnp.ndarray:
+        """Beam-slot attention over an UNPERMUTED KV cache.
+
+        ``k``/``v`` are (B*K, T, H, Dh) slot-major: row (b, j) position t
+        holds the K/V of whatever hypothesis occupied beam slot j when
+        step t ran — beams are never physically reordered. ``anc``
+        (B, K, T) names the slot holding hypothesis (b, k)'s token at
+        position t (maintained by gen/beam.ancestry_reorder). Attention
+        computes all-pairs slot scores and selects with an exact 0/1
+        one-hot contraction, which equals gathering the cache rows first
+        — but reads the cache once instead of fairseq's
+        reorder-then-attend (seq_gen.py:902-913), which costs an extra
+        full-cache read+write per step (measured 96% of beam-5 decode
+        cost, BENCH.md round 3).
+        """
+        q = self.q_proj(q_in)
+        depth = q.shape[-1]
+        q = q / jnp.sqrt(depth).astype(q.dtype)
+        bsz, beams, _ = anc.shape
+        qh = q.reshape(bsz, beams, q.shape[-2], q.shape[-1])  # (B,K,H,Dh)
+        kh = k.reshape((bsz, beams) + k.shape[1:])  # (B,J,T,H,Dh)
+        vh = v.reshape((bsz, beams) + v.shape[1:])
+        allp = jnp.einsum("bkhd,bjthd->bkhjt", qh, kh)
+        # exact 0/1 selection; HIGHEST so the MXU does not truncate f32
+        # scores to bf16 (same argument as gen/beam._gather_beams)
+        sel = jax.nn.one_hot(anc, beams, dtype=allp.dtype)  # (B,K,T,J)
+        logits = jnp.einsum(
+            "bkhjt,bktj->bkht", allp, sel,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if mask is not None:
+            logits = logits + mask.astype(logits.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
+            self.dtype
+        )
+        if self.dropout > 0.0 and not deterministic:
+            rng = self.make_rng("dropout")
+            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, probs.shape)
+            probs = probs * keep / (1.0 - self.dropout)
+        w = jnp.einsum(
+            "bkht,bktj->bkhjt", probs, sel,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ctx = jnp.einsum("bkhjt,bjthd->bkhd", w, vh)
+        ctx = ctx.reshape(bsz * beams, 1, ctx.shape[-2], ctx.shape[-1])
+        return self.out_proj(ctx)
+
     def __call__(
         self,
         q_in: jnp.ndarray,
@@ -154,6 +209,7 @@ class MultiHeadAttention(nn.Module):
         deterministic: bool = True,
         cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        anc: Optional[jnp.ndarray] = None,
     ):
         if cache is None:
             k, v = self.project_kv(kv_in)
@@ -163,7 +219,10 @@ class MultiHeadAttention(nn.Module):
         ck, cv = cache
         ck = jax.lax.dynamic_update_slice(ck, k_new.astype(ck.dtype), (0, cache_index, 0, 0))
         cv = jax.lax.dynamic_update_slice(cv, v_new.astype(cv.dtype), (0, cache_index, 0, 0))
-        out = self.attend(q_in, ck, cv, mask, deterministic)
+        if anc is not None:
+            out = self.attend_ancestry(q_in, ck, cv, anc, mask, deterministic)
+        else:
+            out = self.attend(q_in, ck, cv, mask, deterministic)
         return out, (ck, cv)
 
 
@@ -282,6 +341,7 @@ class DecoderLayer(nn.Module):
         deterministic: bool = True,
         self_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         cache_index=None,
+        anc: Optional[jnp.ndarray] = None,
     ):
         c = self.cfg
         rng = lambda: self.make_rng("dropout")  # noqa: E731
@@ -290,7 +350,7 @@ class DecoderLayer(nn.Module):
             x = self.self_attn_ln(x)
         x, new_self_cache = self.self_attn(
             x, x, self_mask, deterministic, cache=self_cache,
-            cache_index=cache_index,
+            cache_index=cache_index, anc=anc,
         )
         x = _dropout(x, c.dropout, deterministic, rng)
         x = res + x
@@ -503,6 +563,11 @@ class TransformerDecoder(nn.Module):
         max_len = cache["layers"][0]["self_k"].shape[1]
         pos_ids = jnp.arange(max_len)[None, None, None, :]
         step_mask = jnp.where(pos_ids <= position, 0.0, NEG_INF)
+        # ancestry-mode beam decode (gen/beam.ancestry_reorder): the KV
+        # cache stays slot-major and self-attention selects ancestor rows
+        # via cache["anc"]; cross K/V are beam-invariant (tiled enc_out),
+        # so they need no treatment at all
+        anc = cache.get("anc")
         new_layers = []
         for layer, entry in zip(self.layers, cache["layers"]):
             enc_kv = (
@@ -518,8 +583,11 @@ class TransformerDecoder(nn.Module):
                 deterministic=True,
                 self_cache=(entry["self_k"], entry["self_v"]),
                 cache_index=position,
+                anc=anc,
             )
             new_entry = dict(entry)
             new_entry["self_k"], new_entry["self_v"] = new_self
             new_layers.append(new_entry)
-        return self._logits(x), {"layers": new_layers}
+        new_cache = dict(cache)  # keep non-layer keys (e.g. "anc")
+        new_cache["layers"] = new_layers
+        return self._logits(x), new_cache
