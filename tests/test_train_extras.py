@@ -567,7 +567,8 @@ def test_eval_sharded_ancestry_equals_gather(env, tmp_path):
     from vidsitu_tpu.models.selector import build_srl_generate_fn
     from vidsitu_tpu.parallel.mesh import make_mesh
 
-    cfg = mk(env, "evanc", **{"gen.beam_size": 3, "gen.max_len_b": 40})
+    cfg = mk(env, "evanc", **{"gen.beam_size": 3, "gen.max_len_b": 40,
+                              "tpu.seg_decode_min": 16})
     comm = build_comm(cfg)
     data = get_data(cfg)
     model = build_model(cfg, comm)

@@ -244,6 +244,8 @@ def beam_search(
     reorder_cache_fn: Optional[
         Callable[[Any, jnp.ndarray, int, int, jnp.ndarray], Any]
     ] = None,
+    seg_bounds: Optional[Tuple[int, ...]] = None,
+    grow_cache_fn: Optional[Callable[[Any, int], Any]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run beam search.
 
@@ -255,6 +257,18 @@ def beam_search(
       reorder_cache_fn: optional (cache, orig_beam (B,K), batch, beam, t)
                -> cache, replacing the default full-cache `_gather_beams`
                (used by ancestry-mode decode, see ``ancestry_reorder``).
+      seg_bounds: optional ascending step bounds for SEGMENTED decode:
+               the loop runs as consecutive while_loops capped at each
+               bound, growing the cache between segments via
+               ``grow_cache_fn(cache, new_len)`` (new_len = bound + 1,
+               capped at max_len + 1). The caller must size ``init_cache``
+               for the FIRST bound (length seg_bounds[0] + 1). Early
+               steps then run on a small cache — under XLA's static
+               shapes this is the only way to make a generous
+               ``max_len_b`` budget cost like the length actually
+               generated (fairseq instead shrinks the batch dynamically,
+               seq_gen.py:430-464). Token-exact: positions beyond the
+               write cursor are masked identically at every size.
 
     Returns:
       seqs:    (B, K, max_len+1) generated tokens (bos stripped; up to
@@ -289,13 +303,16 @@ def beam_search(
             return score
         return score / (length.astype(jnp.float32) ** lp)
 
-    def cond(state):
-        t, _, _, _, _, fin_scores_, _ = state
-        # finalized hypotheses are never evicted, so a sentence with a full
-        # quota is done — fairseq's per-sentence batch shrinking
-        # (seq_gen.py:430-464) expressed as a whole-batch early exit
-        quota_full = jnp.all(fin_scores_ > NEG_INF / 2)
-        return (t < n_steps) & (~quota_full)
+    def make_cond(bound):
+        def cond(state):
+            t, _, _, _, _, fin_scores_, _ = state
+            # finalized hypotheses are never evicted, so a sentence with a
+            # full quota is done — fairseq's per-sentence batch shrinking
+            # (seq_gen.py:430-464) expressed as a whole-batch early exit
+            quota_full = jnp.all(fin_scores_ > NEG_INF / 2)
+            return (t < bound) & (~quota_full)
+
+        return cond
 
     def body(state):
         t, alive_seq_, alive_scores_, cache, fin_seq_, fin_scores_, fin_lens_ = (
@@ -429,6 +446,11 @@ def beam_search(
             new_fin_lens,
         )
 
+    bounds: Tuple[int, ...] = (n_steps,)
+    if seg_bounds is not None and grow_cache_fn is not None:
+        inner = sorted({int(b) for b in seg_bounds if 0 < int(b) < n_steps})
+        bounds = tuple(inner) + (n_steps,)
+
     state = (
         jnp.asarray(0, jnp.int32),
         alive_seq,
@@ -438,9 +460,14 @@ def beam_search(
         fin_scores,
         fin_lens,
     )
-    t, alive_seq, alive_scores, _, fin_seq, fin_scores, fin_lens = (
-        jax.lax.while_loop(cond, body, state)
-    )
+    for i, bound in enumerate(bounds):
+        state = jax.lax.while_loop(make_cond(bound), body, state)
+        if i + 1 < len(bounds):
+            # grow the cache for the next segment (a no-op copy when the
+            # quota filled early and the remaining loops run 0 iterations)
+            new_len = min(bounds[i + 1] + 1, n_steps)
+            state = state[:3] + (grow_cache_fn(state[3], new_len),) + state[4:]
+    t, alive_seq, alive_scores, _, fin_seq, fin_scores, fin_lens = state
 
     # Degenerate fallback only (e.g. min_len >= the step budget blocks eos
     # entirely): surface still-alive beams. When the quota is full, fairseq

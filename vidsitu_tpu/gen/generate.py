@@ -30,6 +30,7 @@ def make_srl_generator(
     max_positions: int = 1024,
     mesh=None,
     ancestry: bool = True,
+    seg_min: int = 64,
 ) -> Callable[[Any, Dict[str, jnp.ndarray]], jnp.ndarray]:
     """Build a jitted generate(variables, inp) -> (B, 5, 1, max_len).
 
@@ -38,15 +39,29 @@ def make_srl_generator(
 
     Decode length honors ``cfg.gen.max_len_b`` (ref default 200,
     configs/vsitu_cfg.yml:80) capped at the decoder's position table, the
-    same bound fairseq applies (seq_gen.py:233-239). Note the latency
-    contract: the loop is fixed-shape under XLA, so cost scales with
-    max_len_b even when every beam hits EOS early (training geometry is
-    60 tokens/event; set gen.max_len_b=60 for ~3.3x faster eval decode).
+    same bound fairseq applies (seq_gen.py:233-239).
+
+    Latency contract: the decode runs SEGMENTED (``seg_min`` > 0, the
+    default) — the KV cache starts at ``seg_min`` positions and doubles
+    between while_loop segments, so a generous max_len_b budget costs
+    like the length actually generated when every beam hits EOS early
+    (the quota early-exit skips the remaining segments). Token-exact vs
+    the single-loop decode; set seg_min=0 (cfg.tpu.seg_decode_min) to
+    disable.
     """
     if max_len <= 0:
         max_len = gen_cfg.max_len_b if gen_cfg.max_len_b > 0 else SRL_DECODE_LEN
     max_len = min(max_len, max_positions - 1)
     k = gen_cfg.beam_size
+
+    n_steps = max_len + 1
+    seg_bounds: tuple = ()
+    if seg_min and seg_min > 0:
+        b = int(seg_min)
+        while b < n_steps:
+            seg_bounds = seg_bounds + (b,)
+            b *= 2
+    cache_len0 = (seg_bounds[0] + 1) if seg_bounds else (max_len + 1)
 
     # shard decode over the data mesh like training: params replicated,
     # batch split on the data axis (the per-row beam state stays local to
@@ -68,7 +83,7 @@ def make_srl_generator(
         enc_mask_t = tile_for_beams(enc_mask, k) if enc_mask is not None else None
 
         cache = model.apply(
-            variables, rows * k, max_len + 1, enc_out,
+            variables, rows * k, cache_len0, enc_out,
             method=SRLModel.gen_build_cache,
         )
         reorder_fn = None
@@ -79,9 +94,38 @@ def make_srl_generator(
             # transformer.attend_ancestry)
             cache["anc"] = jnp.tile(
                 jnp.arange(k, dtype=jnp.int32)[None, :, None],
-                (rows, 1, max_len + 1),
+                (rows, 1, cache_len0),
             )
             reorder_fn = ancestry_reorder
+
+        def grow_cache(cache_, new_len):
+            """Pad the self-attention K/V (and the ancestry table) from
+            the current segment length to ``new_len``. Cross K/V are
+            enc-length and never grow. New ancestry positions are the
+            identity, the same state the unsegmented table holds beyond
+            the write cursor (each step's trailing identity write in
+            ancestry_reorder re-establishes it before first read)."""
+            out = dict(cache_)
+            new_layers = []
+            for entry in cache_["layers"]:
+                e2 = dict(entry)
+                for kk in ("self_k", "self_v"):
+                    x = entry[kk]
+                    pad = jnp.zeros(
+                        (x.shape[0], new_len - x.shape[1]) + x.shape[2:],
+                        x.dtype,
+                    )
+                    e2[kk] = jnp.concatenate([x, pad], axis=1)
+                new_layers.append(e2)
+            out["layers"] = new_layers
+            if "anc" in cache_:
+                a = cache_["anc"]
+                ident = jnp.tile(
+                    jnp.arange(k, dtype=a.dtype)[None, :, None],
+                    (a.shape[0], 1, new_len - a.shape[2]),
+                )
+                out["anc"] = jnp.concatenate([a, ident], axis=2)
+            return out
 
         def step_fn(last_tok, pos, cache_):
             from ..models.common import make_padding_mask
@@ -106,6 +150,8 @@ def make_srl_generator(
             prefix_tokens=prefix,
             unk_id=unk_id,
             reorder_cache_fn=reorder_fn,
+            seg_bounds=seg_bounds if seg_bounds else None,
+            grow_cache_fn=grow_cache if seg_bounds else None,
         )
         # top beam only, shaped like the reference out_sents (B, 5, 1, L);
         # L = max_len + 1 (content budget + terminating eos)

@@ -109,4 +109,5 @@ def build_srl_generate_fn(cfg, comm, model, mesh=None):
         max_positions=max_positions,
         mesh=mesh,
         ancestry=bool(cfg.tpu.get("ancestry_beam", True)),
+        seg_min=int(cfg.tpu.get("seg_decode_min", 64)),
     )
