@@ -133,10 +133,27 @@ def bench_srl_train(bs: int = 32, iters: int = 20) -> dict:
     }
 
 
-def bench_srl_decode(bs: int = 16, iters: int = 5, beam: int = 1) -> dict:
+# the reference's production decoder dims (configs/vsitu_tx_cfgs/
+# transformer.yaml: d=1024, ffn=2048, 3 layers, 8 heads) for the
+# `decode_real`/`decode5_real` modes
+_REAL_TX = {
+    "tx_dec.decoder_embed_dim": 1024,
+    "tx_dec.decoder_ffn_embed_dim": 2048,
+    "tx_dec.decoder_layers": 3,
+    "tx_dec.decoder_attention_heads": 8,
+    "tx_dec.encoder_embed_dim": 1024,
+    "tx_dec.encoder_ffn_embed_dim": 2048,
+    "tx_dec.encoder_layers": 3,
+    "tx_dec.encoder_attention_heads": 8,
+}
+
+
+def bench_srl_decode(bs: int = 16, iters: int = 5, beam: int = 1,
+                     real_dims: bool = False) -> dict:
     """SRL decode latency (ms per 5-event video), BASELINE.md's
     'beam decode latency reported alongside'. beam>1 uses the
-    fairseq-exact 2*beam candidate flow."""
+    fairseq-exact 2*beam candidate flow. real_dims benches the
+    reference's actual d=1024/3-layer decoder geometry."""
     import jax
     import jax.numpy as jnp
 
@@ -146,7 +163,9 @@ def bench_srl_decode(bs: int = 16, iters: int = 5, beam: int = 1) -> dict:
 
     import numpy as np
 
-    cfg, model, variables, batch = _setup(bs=bs)
+    cfg, model, variables, batch = _setup(
+        bs=bs, extra=_REAL_TX if real_dims else None
+    )
     if beam != 1:
         cfg.gen.beam_size = beam
     comm = build_comm(cfg)
@@ -168,6 +187,8 @@ def bench_srl_decode(bs: int = 16, iters: int = 5, beam: int = 1) -> dict:
     name = "srl_greedy_decode_latency" if beam == 1 else (
         f"srl_beam{beam}_decode_latency"
     )
+    if real_dims:
+        name += "_d1024"
     return {
         "metric": name,
         "value": round(dt / bs * 1000, 3),
@@ -369,7 +390,7 @@ def bench_vb_train(b: int = 8, iters: int = 4) -> dict:
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "featext"
     # optional size overrides, forwarded to every mode:
-    #   python bench.py srl|decode|decode5 [bs] [iters]
+    #   python bench.py srl|decode|decode5|decode_real|decode5_real [bs] [iters]
     #   python bench.py vbtrain [b] [iters]
     #   python bench.py featext [clips] [iters]
     kw = {}
@@ -383,6 +404,10 @@ if __name__ == "__main__":
         print(json.dumps(bench_srl_decode(**kw)))
     elif which == "decode5":
         print(json.dumps(bench_srl_decode(beam=5, **kw)))
+    elif which == "decode_real":
+        print(json.dumps(bench_srl_decode(real_dims=True, **kw)))
+    elif which == "decode5_real":
+        print(json.dumps(bench_srl_decode(beam=5, real_dims=True, **kw)))
     elif which == "vbtrain":
         if "bs" in kw:
             kw["b"] = kw.pop("bs")
