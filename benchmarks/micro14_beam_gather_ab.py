@@ -38,6 +38,11 @@ def main(bs: int = 8, beam: int = 5):
 
     cfg, model, variables, batch = _setup(bs=bs)
     cfg.gen.beam_size = beam
+    # unsegmented decode: the hazard receipts were measured on the
+    # single-loop program, and segmentation shrinks early-segment cache
+    # lengths below the kernel's 128-multiple eligibility — keep the
+    # gate's sensitivity identical across stacks
+    cfg.tpu.seg_decode_min = 0
     comm = build_comm(cfg)
     tok = comm.gpt2_hf_tok
     gen_cfg = GenConfig.from_cfg(cfg.gen)

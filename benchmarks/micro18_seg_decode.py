@@ -21,18 +21,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-# the reference's production decoder dims (configs/vsitu_tx_cfgs/
-# transformer.yaml: d=1024, ffn=2048, 3 layers, 8 heads)
-REAL_TX = {
-    "tx_dec.decoder_embed_dim": 1024,
-    "tx_dec.decoder_ffn_embed_dim": 2048,
-    "tx_dec.decoder_layers": 3,
-    "tx_dec.decoder_attention_heads": 8,
-    "tx_dec.encoder_embed_dim": 1024,
-    "tx_dec.encoder_ffn_embed_dim": 2048,
-    "tx_dec.encoder_layers": 3,
-    "tx_dec.encoder_attention_heads": 8,
-}
+# the reference's production decoder dims — single source of truth in
+# bench.py so `bench.py decode_real` and this A/B measure the same
+# geometry
+from bench import _REAL_TX as REAL_TX  # noqa: E402
 
 
 def measure(tag, seg_min, beam, bs=8, iters=5, real_dims=False):

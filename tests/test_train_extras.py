@@ -517,8 +517,11 @@ def test_eval_sharded_pallas_gather_equals_dot(env, tmp_path, monkeypatch):
         # production dims (d=1024) are always eligible. ancestry_beam
         # off: this test verifies the GATHER path's pallas routing,
         # which ancestry mode (the default) bypasses entirely
+        # seg_decode_min 0: segmented decode would shrink early-segment
+        # cache lengths below the kernel's 128-multiple eligibility,
+        # letting both arms silently run the dot path
         **{"gen.beam_size": 3, "gen.max_len_b": 199,
-           "tpu.ancestry_beam": False},
+           "tpu.ancestry_beam": False, "tpu.seg_decode_min": 0},
     )
     comm = build_comm(cfg)
     data = get_data(cfg)

@@ -162,16 +162,16 @@ def ancestry_reorder(cache: Any, orig_beam: jnp.ndarray, batch: int,
 
     Invariants:
       * before step s's attention, ``anc[:, :, s]`` is the identity (the
-        step writes its own slot's K/V row at position s);
+        step writes its own slot's K/V row at position s) — established
+        by the identity init (generate.py), the identity padding in
+        grow_cache, and the trailing write below at s = t+1; this holds
+        at every entry to this function, so position t needs no
+        re-write before the permute;
       * after this reorder, ``anc[b, k, t'] `` names the cache slot whose
         position-t' row belongs to NEW beam k's history, for all t' <= t.
     """
     anc = cache["anc"]
     k_ids = jnp.arange(beam, dtype=anc.dtype)[None, :]
-    # rows written THIS step (position t) belong to their own slot
-    anc = jax.lax.dynamic_update_slice(
-        anc, jnp.tile(k_ids[:, :, None], (batch, 1, 1)), (0, 0, t)
-    )
     anc = jnp.take_along_axis(
         anc, orig_beam[:, :, None].astype(anc.dtype), axis=1
     )
@@ -448,7 +448,12 @@ def beam_search(
 
     bounds: Tuple[int, ...] = (n_steps,)
     if seg_bounds is not None and grow_cache_fn is not None:
-        inner = sorted({int(b) for b in seg_bounds if 0 < int(b) < n_steps})
+        # an inner bound of n_steps-1 would produce a zero-growth cache
+        # copy plus a duplicate compiled loop for the single forced-EOS
+        # step — require every segment to actually grow the cache
+        inner = sorted(
+            {int(b) for b in seg_bounds if 0 < int(b) < n_steps - 1}
+        )
         bounds = tuple(inner) + (n_steps,)
 
     state = (
