@@ -33,6 +33,7 @@ def _decode(cfg, comm, model, variables, dev_batch, seg_min, ancestry):
     ("sfpret_txe_txd_vbarg", 3, True),   # ancestry reorder across segments
     ("sfpret_txe_txd_vbarg", 3, False),  # full-cache gather across segments
     ("tx_only", 4, True),                # decoder-only
+    ("new_gpt2_only", 3, True),          # GPT-2 flavor (gelu, learned pos)
 ])
 def test_segmented_equals_single_loop(mdl_name, beam, ancestry):
     from __graft_entry__ import _setup
