@@ -27,14 +27,24 @@ import numpy as np
 from bench import _REAL_TX as REAL_TX  # noqa: E402
 
 
-def measure(tag, seg_min, beam, bs=8, iters=5, real_dims=False):
+def measure(tag, seg_min, beam, bs=8, iters=5, real_dims=False,
+            dtype=None):
     from __graft_entry__ import _setup
     from vidsitu_tpu.data import build_comm
-    from vidsitu_tpu.models.selector import build_srl_generate_fn
+    from vidsitu_tpu.models.selector import (
+        build_model,
+        build_srl_generate_fn,
+        init_model_variables,
+    )
 
     cfg, model, variables, batch = _setup(
         bs=bs, extra=REAL_TX if real_dims else None
     )
+    if dtype is not None:  # e.g. the production bfloat16 config
+        cfg.train.dtype = dtype
+        comm0 = build_comm(cfg)
+        model = build_model(cfg, comm0)
+        variables = init_model_variables(model, batch)
     cfg.gen.beam_size = beam
     cfg.tpu.seg_decode_min = seg_min
     comm = build_comm(cfg)
@@ -58,13 +68,17 @@ def measure(tag, seg_min, beam, bs=8, iters=5, real_dims=False):
 
 if __name__ == "__main__":
     print("devices:", jax.devices())
-    real = len(sys.argv) > 1 and sys.argv[1] == "real"
+    real = len(sys.argv) > 1 and sys.argv[1].startswith("real")
+    dtype = "bfloat16" if (len(sys.argv) > 1 and
+                           sys.argv[1] == "real_bf16") else None
     tag = "real-dims d=1024" if real else "bench-dims d=128"
+    if dtype:
+        tag += f" {dtype} (production config)"
     print(f"== {tag} ==")
     for beam in (1, 5):
         s_ms, s_out = measure("single-loop (seg=0)", 0, beam,
-                              real_dims=real)
+                              real_dims=real, dtype=dtype)
         g_ms, g_out = measure("segmented (seg=64)", 64, beam,
-                              real_dims=real)
+                              real_dims=real, dtype=dtype)
         exact = bool(np.array_equal(s_out, g_out))
         print(f"  -> {s_ms / g_ms:.2f}x, token-exact on-chip: {exact}")
