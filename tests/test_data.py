@@ -171,6 +171,45 @@ def test_sharded_sampler_partition():
     assert idx_all == set(range(10))
 
 
+def test_sharded_sampler_more_shards_than_samples():
+    """Padding must REPEAT the order enough times: with 2 samples over 8
+    shards a single wrap left shards 4-7 empty while __len__ claimed 1 —
+    an empty shard hangs a multi-host collective step."""
+    idx_all = []
+    for shard in range(8):
+        s = ShardedSampler(2, shuffle=False, num_shards=8, shard_id=shard)
+        got = list(s)
+        assert len(got) == len(s) == 1, f"shard {shard} got {got}"
+        idx_all += got
+    assert set(idx_all) == {0, 1}
+
+
+def test_loader_abandoned_iteration_stops_producer(synth_cfg):
+    """Breaking out of iteration (the main.py warm-up `next(iter(dl))`
+    pattern) must wake a producer blocked in q.put and let the thread
+    exit instead of pinning decoded batches for the process lifetime."""
+    import threading
+    import time as _time
+
+    cfg = mk_cfg(synth_cfg, task_type="vb_arg", **{"mdl.mdl_name": "tx_only"})
+    comm = build_comm(cfg)
+    ds = VsituDS(cfg, comm, "train")
+    dl = DataLoader(ds, batch_size=2, shuffle=False, num_threads=1,
+                    prefetch=1)
+    before = {t.ident for t in threading.enumerate()}
+    it = iter(dl)
+    next(it)  # producer fills the queue and blocks in put on the next one
+    it.close()  # generator finally -> stop.set()
+    deadline = _time.time() + 10.0
+    while _time.time() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t.ident not in before and t.is_alive()]
+        if not extra:
+            break
+        _time.sleep(0.05)
+    assert not extra, f"producer thread leaked: {extra}"
+
+
 def test_sharded_sampler_epoch_shuffle():
     s = ShardedSampler(20, shuffle=True, num_shards=1, shard_id=0, seed=1)
     s.set_epoch(0)

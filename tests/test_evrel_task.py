@@ -111,6 +111,33 @@ def test_ablation_zeroing_changes_logits(env):
     )
 
 
+def test_val_loss_exact_on_partial_final_batch(env, tmp_path):
+    """The reported val_loss must equal the count-weighted mean of the
+    TRUE per-batch losses: the static-shape padding (repeat-last-row)
+    must not leak duplicated rows into the loss (the reference evaluates
+    the real-sized final batch, trn_utils.py:536-566)."""
+    cfg = mk(env, "rob_evrel", **{"train.bsv": 3})  # 4 valid -> 3 + 1
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    model = build_model(cfg, comm)
+    batch = next(iter(data.train_dl))
+    variables = init_model_variables(model, batch)
+    ev = EvalB_Acc(cfg, comm, model)
+
+    val_loss, _ = ev(variables, data.valid_dl, "valid", pred_path=tmp_path)
+
+    exp, ns = [], []
+    for b in data.valid_dl:
+        dev = {k: jnp.asarray(v) for k, v in b.items()}
+        exp.append(float(model.apply(variables, dev)["loss"]))
+        ns.append(next(iter(b.values())).shape[0])
+    assert ns[-1] == 1  # the partial batch actually occurred
+    expect = float(np.average(exp, weights=ns))
+    assert abs(val_loss["loss"] - expect) < 1e-5, (
+        f"padded rows leaked into val_loss: {val_loss['loss']} vs {expect}"
+    )
+
+
 def test_evrel_train_eval_end_to_end(env):
     cfg = mk(env, "sfpret_evrel")
     comm = build_comm(cfg)

@@ -558,6 +558,26 @@ def test_eval_sharded_pallas_gather_equals_dot(env, tmp_path, monkeypatch):
     assert out["dot"] == out["pallas"]
 
 
+def test_profiler_short_epoch_does_not_crash(env, tmp_path):
+    """tpu.profile with an epoch shorter than the profile window: the
+    trace never starts (start fires at bix 1), so the end-of-epoch stop
+    must not call jax.profiler.stop_trace without a matching start."""
+    cfg = mk(env, "proftiny", **{"tpu.profile": True})  # bs=8 = n_train
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    model = build_model(cfg, comm)
+    batch = next(iter(data.train_dl))
+    variables = init_model_variables(model, batch)
+    gen_fn = build_srl_generate_fn(cfg, comm, model)
+    ev = EvalB_Gen(cfg, comm, gen_fn)
+    learner = Learner(
+        uid="proftiny", cfg=cfg, model=model, variables=variables,
+        data=data, eval_fn=ev,
+    )
+    assert len(data.train_dl) == 1
+    learner.fit(epochs=1, lr=1e-4)  # raised RuntimeError before the fix
+
+
 def test_eval_sharded_ancestry_equals_gather(env, tmp_path):
     """Beam-3 decode in ancestry mode (the default: slot-major cache +
     one-hot ancestor selection inside attention) produces the identical

@@ -67,7 +67,15 @@ class ShardedSampler:
             order = np.arange(self.n)
         total = ((self.n + self.num_shards - 1) // self.num_shards) * self.num_shards
         if total > self.n:
-            order = np.concatenate([order, order[: total - self.n]])
+            # repeat the order as many times as needed: with more shards
+            # than samples a single wrap would leave some shards EMPTY
+            # while __len__ still reports one item (torch's
+            # DistributedSampler repeats the same way) — on a multi-host
+            # run an empty shard means that host skips the collective
+            # train step and the cluster hangs
+            pad = total - self.n
+            reps = (pad + self.n - 1) // self.n
+            order = np.concatenate([order] + [order] * reps)[:total]
         return iter(order[self.shard_id :: self.num_shards].tolist())
 
     def __len__(self) -> int:
@@ -149,16 +157,31 @@ class DataLoader:
         sentinel = object()
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # never block forever: if the consumer abandoned iteration
+            # (e.g. a single next(iter(dl)) warm-up, or an exception
+            # unwinding the epoch loop) the generator's finally sets
+            # `stop`, and a plain q.put on a full queue would pin this
+            # thread and its decoded batches for the rest of the process
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for bidx in batches:
                     if stop.is_set():
                         break
-                    q.put(self._make_batch(bidx))
+                    if not put_or_stop(self._make_batch(bidx)):
+                        return
             except BaseException as e:  # surface worker errors to consumer
-                q.put(e)
+                put_or_stop(e)
             finally:
-                q.put(sentinel)
+                put_or_stop(sentinel)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -96,11 +96,29 @@ class _BaseEvaluator:
 
     def _merge_ranks(self, pred_path, dl_name, own_results):
         """Rank 0 concatenates every rank's pickle (filesystem gather,
-        identical format to the reference)."""
+        identical format to the reference).
+
+        Staleness guard: from the second validation on, every per-rank
+        pkl already exists from the PREVIOUS call, so waiting on the pkl
+        path alone could merge an old epoch's predictions if the sync
+        barrier ever fails. Each call therefore gets a monotonically
+        increasing sequence number (identical across ranks — calls are
+        lockstep) and ranks publish a ``.done`` marker carrying it; rank
+        0 waits for THIS call's marker, and a timeout raises instead of
+        silently scoring mixed-epoch predictions."""
         import time as _time
 
+        seq = self._merge_seq = getattr(self, "_merge_seq", 0) + 1
+        # clear own stale markers (a previous crashed run with the same
+        # uid could have left seq-1 markers behind)
+        if seq == 1:
+            for stale in Path(pred_path).glob(
+                f".{dl_name}_{self.rank}.*.done"
+            ):
+                stale.unlink()
         fname = Path(pred_path) / f"{dl_name}_{self.rank}.pkl"
         write_pickle(own_results, fname)
+        (Path(pred_path) / f".{dl_name}_{self.rank}.{seq}.done").touch()
         if self.world_size > 1:
             try:
                 from jax.experimental import multihost_utils
@@ -112,15 +130,23 @@ class _BaseEvaluator:
             return None
         merged = list(own_results)
         for w in range(1, self.world_size):
-            other = Path(pred_path) / f"{dl_name}_{w}.pkl"
-            for _ in range(300):
-                if other.exists():
+            marker = Path(pred_path) / f".{dl_name}_{w}.{seq}.done"
+            for _ in range(600):
+                if marker.exists():
                     break
                 _time.sleep(0.1)
-            with open(other, "rb") as f:
+            else:
+                raise RuntimeError(
+                    f"eval merge: rank {w} never published "
+                    f"{marker.name} — refusing to score possibly-stale "
+                    f"predictions"
+                )
+            with open(Path(pred_path) / f"{dl_name}_{w}.pkl", "rb") as f:
                 import pickle as _pkl
 
                 merged += _pkl.load(f)
+            marker.unlink(missing_ok=True)
+        (Path(pred_path) / f".{dl_name}_0.{seq}.done").unlink(missing_ok=True)
         fname0 = Path(pred_path) / f"{dl_name}_0.pkl"
         write_pickle(merged, fname0)
         return fname0
@@ -130,20 +156,26 @@ class _BaseEvaluator:
     def run_loss(self, variables, batch) -> float:
         raise NotImplementedError
 
+    def run_loss_unpadded(self, variables, batch) -> float:
+        """Loss of a PARTIAL final batch at its true size (no pad rows):
+        the padded-batch loss would average duplicated pad rows into the
+        reported val_loss. One extra jit specialization per remainder
+        shape, un-meshed (the remainder need not divide the devices)."""
+        raise NotImplementedError
+
     def __call__(self, variables, dl, dl_name, pred_path, write_to_file=True):
+        import jax as _jax
+
         results: List[Dict] = []
         losses: List[float] = []
         nums: List[int] = []
         bsv = dl.batch_size
         if self.mesh is not None:
-            import jax as _jax_
-
-            local_dev = int(self.mesh.devices.size) // _jax_.process_count()
+            local_dev = int(self.mesh.devices.size) // _jax.process_count()
             assert bsv % max(local_dev, 1) == 0, (
-                f"eval batch {bsv} must divide the {local_dev} local devices"
+                f"eval batch {bsv} must be divisible by the {local_dev} "
+                f"local devices of the mesh"
             )
-        import jax as _jax
-
         multiproc = _jax.process_count() > 1
         for batch in dl:
             n_real = next(iter(batch.values())).shape[0]
@@ -165,14 +197,31 @@ class _BaseEvaluator:
             else:
                 results += self.decode_batch(out, padded["vseg_idx"])
             if self.compute_loss:
-                losses.append(self.run_loss(variables, dev_batch))
+                if n_real == bsv:
+                    losses.append(self.run_loss(variables, dev_batch))
+                else:
+                    losses.append(self.run_loss_unpadded(variables, batch))
                 nums.append(n_real)
         seen = set()
         uniq = [r for r in results
                 if r["ann_idx"] not in seen and not seen.add(r["ann_idx"])]
-        val_loss = (
-            float(np.average(losses, weights=nums)) if losses else 0.0
-        )
+        if losses and multiproc:
+            # count-weighted global mean across processes (the reference's
+            # reduce_dict_corr, trn_utils.py:102-121): each rank only saw
+            # its own shard's batches
+            from jax.experimental import multihost_utils as _mhu
+
+            part = np.asarray(
+                [float(np.dot(losses, nums)), float(np.sum(nums))],
+                np.float64,
+            )
+            tot = np.asarray(_mhu.process_allgather(part)).reshape(-1, 2)
+            tot = tot.sum(axis=0)
+            val_loss = float(tot[0] / max(tot[1], 1.0))
+        else:
+            val_loss = (
+                float(np.average(losses, weights=nums)) if losses else 0.0
+            )
         fname0 = self._merge_ranks(pred_path, dl_name, uniq)
         if fname0 is None:  # non-zero rank: zeros like the reference
             return (
@@ -238,9 +287,23 @@ class EvalB_Acc(_BaseEvaluator):
         self.evl_met = EvlFn_EvRel(cfg, comm, self.met_keys)
         self.forward = self._jit(lambda v, b: model.apply(v, b)["mdl_out"])
         self._loss_fwd = self._jit(lambda v, b: model.apply(v, b)["loss"])
+        # plain jit (no mesh shardings) for partial final batches: their
+        # size need not divide the devices; compiles once per remainder
+        # shape (at most one distinct remainder per split)
+        import jax as _jax
+
+        self._loss_fwd_raw = _jax.jit(
+            lambda v, b: model.apply(v, b)["loss"]
+        )
 
     def run_loss(self, variables, batch) -> float:
         return float(self._loss_fwd(variables, batch))
+
+    def run_loss_unpadded(self, variables, batch) -> float:
+        import jax.numpy as jnp
+
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        return float(self._loss_fwd_raw(variables, dev))
 
     def run_model(self, variables, batch):
         return np.asarray(self.forward(variables, batch))

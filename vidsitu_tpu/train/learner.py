@@ -156,12 +156,23 @@ class Learner:
             self.logger.addHandler(fh)
             self.logger.addHandler(sh)
 
+    @property
+    def _is_main(self) -> bool:
+        return jax.process_index() == 0
+
     def prepare_log_file(self):
+        # txt log is a rank-0-only side effect (ref exec_func_if_main_proc,
+        # trn_utils.py:124-129): on a shared tmp_path every rank appending
+        # would interleave lines
+        if not self._is_main:
+            return
         with open(self.txt_log_file, "a") as f:
             f.write(CfgProcessor.to_str(self.cfg))
             f.write("\n\n")
 
     def update_log_file(self, line: str):
+        if not self._is_main:
+            return
         with open(self.txt_log_file, "a") as f:
             f.write(line + "\n")
 
@@ -349,33 +360,47 @@ class Learner:
         profiling = (
             self.cfg.tpu.profile and self.num_epoch == 0 and jax is not None
         )
+        prof_started = False
         prof_dir = str(Path(self.cfg.misc.tmp_path) / "profile" / self.uid)
+
+        def consume(pending_loss, pending_it):
+            # host fetch of a PREVIOUS step's loss: by the time we block
+            # here, the next step has already been dispatched, so the
+            # device never idles waiting for the host round-trip (one
+            # step of EMA/NaN-log latency, same values)
+            lossf = float(pending_loss)
+            if np.isnan(lossf):
+                self.logger.info("Nan loss at iteration %d", pending_it)
+            losses.append(lossf)
+            smoother.add_value({"loss": lossf})
+            if pending_it % max(self.cfg.log.deb_it, 1) == 0:
+                self.logger.debug(
+                    "it %d loss %.4f smooth %.4f",
+                    pending_it, lossf, smoother.smooth["loss"],
+                )
+
+        pending = None  # (loss device array, its iteration number)
         # device transfers of batch k+1 overlap with the compute of batch
         # k (prefetch_to_device); host-side decode overlaps via the
         # loader's own prefetch threads
         for bix, batch in enumerate(prefetch_to_device(dl, self.mesh)):
             if profiling and bix == 1:
                 jax.profiler.start_trace(prof_dir)
+                prof_started = True
             self.rng, step_rng = jax.random.split(self.rng)
             params, extra, self.opt_state, loss = train_step(
                 params, extra, self.opt_state, batch, step_rng
             )
-            if profiling and bix == self.cfg.tpu.profile_steps:
+            if prof_started and bix == self.cfg.tpu.profile_steps:
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()
+                prof_started = False
                 profiling = False
                 self.logger.info("profiler trace written to %s", prof_dir)
             self.num_it += 1
-            lossf = float(loss)
-            if np.isnan(lossf):
-                self.logger.info("Nan loss at iteration %d", self.num_it)
-            losses.append(lossf)
-            smoother.add_value({"loss": lossf})
-            if self.num_it % max(self.cfg.log.deb_it, 1) == 0:
-                self.logger.debug(
-                    "it %d loss %.4f smooth %.4f",
-                    self.num_it, lossf, smoother.smooth["loss"],
-                )
+            if pending is not None:
+                consume(*pending)
+            pending = (loss, self.num_it)
             if self._preempt_requested and jax.process_count() <= 1:
                 # preemption notice (SIGTERM): stop after this completed
                 # step; fit() checkpoints the synced state below.
@@ -386,7 +411,9 @@ class Learner:
                     self.num_it,
                 )
                 break
-        if profiling:  # epoch shorter than profile window
+        if pending is not None:
+            consume(*pending)
+        if prof_started:  # epoch shorter than profile window
             jax.profiler.stop_trace()
         self.variables = dict(extra, params=params)
         return {"loss": float(np.mean(losses)) if losses else float("nan")}
@@ -419,7 +446,7 @@ class Learner:
         hdr = ["epochs", "trn_loss", "val_loss"] + list(met_keys)
         self.update_log_file("  ".join(hdr))
         st_time = time.time()
-        tracker = Tracker(self.cfg, self.uid)
+        tracker = Tracker(self.cfg, self.uid, enabled=self._is_main)
         tracker.log_params(_CP.cfg_to_flat_dct(self.cfg))
         restore_sig = self._install_preempt_handler()
         try:
@@ -447,6 +474,30 @@ class Learner:
                     self.ckpt_backend.wait()
                     return
                 val_loss, val_acc, _ = self.validate()
+                if jax.process_count() > 1:
+                    # rank 0 alone computed the real metrics (evaluators
+                    # merge + score on host 0; other ranks return zeros,
+                    # like the reference). Broadcast so the improved/
+                    # plateau/save decisions below agree on EVERY rank —
+                    # divergence would hang the collective orbax save
+                    # (rank 0 skips it while others wait) or silently
+                    # split the plateau LR across hosts.
+                    from jax.experimental import multihost_utils
+
+                    keys = list(met_keys)  # rank-invariant key set
+                    vec = np.asarray(
+                        [float(val_acc.get(k, 0.0)) for k in keys]
+                        + [float(val_loss.get("loss", 0.0))],
+                        np.float32,
+                    )
+                    vec = np.asarray(
+                        multihost_utils.broadcast_one_to_all(vec)
+                    )
+                    val_acc = {
+                        **val_acc,
+                        **{k: float(v) for k, v in zip(keys, vec)},
+                    }
+                    val_loss = dict(val_loss, loss=float(vec[-1]))
                 self.num_epoch += 1
                 met0 = float(val_acc[met_keys[0]])
                 improved = self.best_met is None or met0 >= self.best_met

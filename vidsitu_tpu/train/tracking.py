@@ -15,11 +15,19 @@ from typing import Dict, Optional
 
 
 class Tracker:
-    def __init__(self, cfg, uid: str):
+    def __init__(self, cfg, uid: str, enabled: bool = True):
+        """enabled=False makes every method a no-op — tracking is a
+        rank-0-only side effect (ref exec_func_if_main_proc +
+        MLFlowTracker, trn_utils.py:124-129,216-312): every rank starting
+        an mlflow run would create N duplicate runs per experiment."""
         self.cfg = cfg
         self.uid = uid
-        exp_name = f"{cfg.expm.exp_name}_{cfg.task_type}"
+        self.enabled = enabled
         self._mlflow = None
+        self._metrics_f = None
+        if not enabled:
+            return
+        exp_name = f"{cfg.expm.exp_name}_{cfg.task_type}"
         try:  # pragma: no cover - mlflow not present in hermetic env
             import mlflow
 
@@ -33,6 +41,8 @@ class Tracker:
         self._metrics_f = open(self.dir / "metrics.jsonl", "a")
 
     def log_params(self, flat_params: Dict):
+        if not self.enabled:
+            return
         with open(self.dir / "params.json", "w") as f:
             json.dump({k: str(v) for k, v in flat_params.items()}, f, indent=0)
         if self._mlflow:
@@ -43,6 +53,8 @@ class Tracker:
                 )
 
     def log_metrics(self, metrics: Dict[str, float], step: Optional[int] = None):
+        if not self.enabled:
+            return
         rec = {"ts": time.time(), "step": step}
         rec.update({k: float(v) for k, v in metrics.items()})
         self._metrics_f.write(json.dumps(rec) + "\n")
@@ -57,6 +69,7 @@ class Tracker:
             self._mlflow.log_artifact(str(path))
 
     def end_run(self):
-        self._metrics_f.close()
+        if self._metrics_f is not None:
+            self._metrics_f.close()
         if self._mlflow:
             self._mlflow.end_run()
