@@ -127,6 +127,63 @@ def test_short_cache_track_treated_as_miss(env, tmp_path):
     )
 
 
+def test_short_cache_rebuilt_when_writes_allowed(env, tmp_path):
+    """With cache_write=True a too-short cache file is REBUILT in place
+    (force overwrite) instead of silently falling back to per-epoch
+    JPEG decode forever — write_segment_cache's exists() early-return
+    used to make the stale file permanent."""
+    from vidsitu_tpu.data.frames import (
+        load_event_clips,
+        segment_cache_path,
+    )
+
+    paths, root = env
+    frames_dir = paths["ds.vsitu.video_frms_tdir"]
+    import pathlib
+
+    seg = sorted(p.name for p in pathlib.Path(frames_dir).iterdir())[0]
+    cache_dir = tmp_path / "rebuild_cache"
+    cache_dir.mkdir()
+    np.save(segment_cache_path(cache_dir, seg, 32),
+            np.zeros((100, 32, 32, 3), np.uint8))
+
+    class _V:
+        reverse_input_channel = False
+        arch = "slowfast"
+
+        class slowfast:
+            alpha = 4
+
+        mean = [0.45, 0.45, 0.45]
+        std = [0.225, 0.225, 0.225]
+
+    cent = {f"Ev{e}": 30 + 60 * (e - 1) for e in range(1, 6)}
+    got = load_event_clips(
+        frames_dir, seg, cent, frm_seq_len=64, sampling_rate=2, vid_cfg=_V,
+        max_frms=300, out_hw=32, cache_dir=str(cache_dir), cache_write=True,
+    )
+    ref = load_event_clips(
+        frames_dir, seg, cent, frm_seq_len=64, sampling_rate=2, vid_cfg=_V,
+        max_frms=300, out_hw=32,
+    )
+    np.testing.assert_array_equal(
+        got["frms_ev_fast_tensor"], ref["frms_ev_fast_tensor"]
+    )
+    rebuilt = np.load(segment_cache_path(cache_dir, seg, 32), mmap_mode="r")
+    assert rebuilt.shape[0] == 300  # the stale file was replaced
+
+
+def test_fast_cache_key_is_distinct():
+    """fast (DCT-scaled, lossy) caches live under a distinct filename so
+    they can never poison an exact-path reader."""
+    from vidsitu_tpu.data.frames import segment_cache_path
+
+    exact = segment_cache_path("/c", "v_seg", 224)
+    fast = segment_cache_path("/c", "v_seg", 224, fast=True)
+    assert exact != fast
+    assert fast.name.endswith("_fast.npy")
+
+
 def test_prep_cli_builds_cache(env, tmp_path):
     import json
 

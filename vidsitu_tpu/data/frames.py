@@ -56,10 +56,16 @@ def read_img_batch(
     return np.stack([read_img(p, out_hw=out_hw) for p in paths])
 
 
-def segment_cache_path(cache_dir, vid_seg_name: str, out_hw: int) -> Path:
+def segment_cache_path(
+    cache_dir, vid_seg_name: str, out_hw: int, fast: bool = False
+) -> Path:
     """Cache file for one segment's decoded frames, keyed by resolution
-    (sampling geometry stays free: the full 300-frame track is cached)."""
-    return Path(cache_dir) / f"{vid_seg_name}_{out_hw}.npy"
+    AND decode mode (sampling geometry stays free: the full 300-frame
+    track is cached). ``fast`` caches (DCT-scaled decode, not
+    pixel-identical to PIL) get a distinct suffix so they can never
+    silently poison an exact-path reader sharing the cache_dir."""
+    suffix = "_fast" if fast else ""
+    return Path(cache_dir) / f"{vid_seg_name}_{out_hw}{suffix}.npy"
 
 
 def write_segment_cache(
@@ -70,6 +76,7 @@ def write_segment_cache(
     max_frms: int = 300,
     threads: int = 1,
     fast: bool = False,
+    force: bool = False,
 ) -> Path:
     """One-time decode of a segment's JPEG track into a single uint8
     ``(T, H, W, 3)`` npy that the loader memmaps.
@@ -81,8 +88,8 @@ def write_segment_cache(
     epoch, dat_loader.py:454-475). Atomic tmp+rename write so concurrent
     builders/readers never see a torn file.
     """
-    path = segment_cache_path(cache_dir, vid_seg_name, out_hw)
-    if path.exists():
+    path = segment_cache_path(cache_dir, vid_seg_name, out_hw, fast=fast)
+    if path.exists() and not force:
         return path
     arr = read_img_batch(
         [
@@ -150,18 +157,35 @@ def load_event_clips(
     track = None  # memmapped (T, H, W, 3) uint8 when cached
     if cache_dir:
         cpath = segment_cache_path(cache_dir, vid_seg_name, out_hw)
-        if not cpath.exists() and cache_write:
-            cpath = write_segment_cache(
-                frm_dir, vid_seg_name, cache_dir, out_hw, max_frms
-            )
+        if not cpath.exists():
+            # accept a prep-built fast cache (DCT-scaled decode; lossy
+            # vs PIL, explicitly keyed by filename) when no exact cache
+            # exists and we are not allowed to build one
+            fast_p = segment_cache_path(cache_dir, vid_seg_name, out_hw,
+                                        fast=True)
+            if fast_p.exists() and not cache_write:
+                cpath = fast_p
+            elif cache_write:
+                cpath = write_segment_cache(
+                    frm_dir, vid_seg_name, cache_dir, out_hw, max_frms
+                )
         if cpath.exists():
             track = np.load(cpath, mmap_mode="r")
             if track.shape[0] < max_frms:
                 # cache written by a caller with a shorter track (the
-                # filename keys on resolution only): treat as a miss
-                # rather than index past / read different frames than
-                # the JPEG fallback would
+                # filename keys on resolution + decode mode, not
+                # length): rebuild in place when allowed, else fall
+                # back to JPEG decode — never index past / read
+                # different frames than the JPEG path would
                 track = None
+                if cache_write:
+                    cpath = write_segment_cache(
+                        frm_dir, vid_seg_name, cache_dir, out_hw,
+                        max_frms, force=True,
+                    )
+                    track = np.load(cpath, mmap_mode="r")
+                    if track.shape[0] < max_frms:  # source track short
+                        track = None
     fast_lst = []
     slow_lst = []
     for ev in range(1, 6):

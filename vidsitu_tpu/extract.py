@@ -55,6 +55,8 @@ def extract_features(
     and the previous batch's features are written to disk while the
     device works (dispatch is async, the np.asarray fetch synchronizes).
     """
+    import os
+
     splits = splits or ["valid", "train"]
     out_dir = Path(out_dir or cfg.ds.vsitu.vsitu_frm_feats)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -62,10 +64,16 @@ def extract_features(
     model = build_feat_extractor(cfg)
     counts: Dict[str, int] = {}
     fwd = jax.jit(lambda v, b: model.apply(v, b)["feats"])
+    # multi-host: shard segments across processes (featext is
+    # embarrassingly parallel; without this every host would re-extract
+    # the full split and race on the same output files)
+    num_shards = jax.process_count()
+    shard_id = jax.process_index()
     for split in splits:
         ds = FramesOnlyDS(cfg, comm, split)
         dl = DataLoader(ds, batch_size=batch_size, shuffle=False,
-                        drop_last=False, num_threads=num_threads)
+                        drop_last=False, num_threads=num_threads,
+                        num_shards=num_shards, shard_id=shard_id)
         n = 0
         pending = None  # (device feats, host vseg_idx) one step behind
 
@@ -75,7 +83,13 @@ def extract_features(
             feats = np.asarray(feats)  # sync point
             for bix in range(feats.shape[0]):
                 seg = ds.vseg_lst[int(idxs[bix])]
-                np.save(out_dir / f"{seg}_feats.npy", feats[bix])
+                # tmp + atomic rename: a crash (or, across hosts, the
+                # sampler's pad duplicates) must never leave a torn
+                # .npy that downstream training silently loads
+                tmp = out_dir / f".{seg}_feats.{os.getpid()}.npy.tmp"
+                with open(tmp, "wb") as f:  # np.save(path) would append .npy
+                    np.save(f, feats[bix])
+                os.replace(tmp, out_dir / f"{seg}_feats.npy")
                 n += 1
 
         for batch in dl:
@@ -110,6 +124,10 @@ def main(argv=None):
     ap.add_argument("--num_threads", type=int, default=8,
                     help="JPEG-decode thread pool size")
     ap.add_argument("--ckpt", default="", help="converted SFBase checkpoint")
+    ap.add_argument(
+        "--allow_random_weights", action="store_true",
+        help="extract from a randomly initialized backbone (testing only)",
+    )
     ap.add_argument("overrides", nargs="*", help="--dotted.key=value")
     args, unknown = ap.parse_known_args(argv)
 
@@ -124,6 +142,13 @@ def main(argv=None):
     cfg = get_cfg_with_overrides("featext", **overrides)
     comm = build_comm(cfg)
     variables = None
+    if not args.ckpt and not args.allow_random_weights:
+        # without a checkpoint the features would come from RANDOM
+        # weights and downstream models would silently train on noise
+        ap.error(
+            "--ckpt is required (pass --allow_random_weights to extract "
+            "from a randomly initialized backbone, e.g. for smoke tests)"
+        )
     if args.ckpt:
         from .convert.hf_torch import load_torch_state_dict
         from .convert.slowfast_torch import convert_sfbase_checkpoint

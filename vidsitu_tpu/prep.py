@@ -136,8 +136,9 @@ def main(argv=None):
         "--fast_decode", action="store_true",
         help="build_frame_cache only: DCT-scaled JPEG decode (2-4x "
              "faster on large frames, pixels NOT bit-identical to the "
-             "reference's PIL preproc — the cache file does not record "
-             "this, so keep exact/fast caches in separate cache_dirs)",
+             "reference's PIL preproc — written under a distinct "
+             "{seg}_{hw}_fast.npy name; the loader only reads it when "
+             "no exact cache exists and tpu.frame_cache_write is off)",
     )
     args = ap.parse_args(argv)
 

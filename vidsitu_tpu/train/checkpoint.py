@@ -43,15 +43,32 @@ class PickleBackend:
         payload["optimizer_state_dict"] = (
             serialization.to_bytes(opt_state) if opt_state is not None else b""
         )
-        with open(path, "wb") as f:
+        # tmp + atomic rename: a crash mid-dump must not truncate the
+        # only resumable checkpoint (preemption lands exactly in this
+        # window — that is what the preempt_file save exists for)
+        import os
+
+        tmp = Path(str(path) + ".tmp")
+        with open(tmp, "wb") as f:
             pickle.dump(payload, f)
+        os.replace(tmp, path)
 
     def load(self, path) -> Optional[Dict[str, Any]]:
         p = Path(path)
         if not p.is_file():
             return None
-        with open(p, "rb") as f:
-            payload = pickle.load(f)
+        try:
+            with open(p, "rb") as f:
+                payload = pickle.load(f)
+        except (EOFError, pickle.UnpicklingError) as e:
+            # a torn file from a pre-atomic-rename writer (or disk
+            # corruption) must not crash resume — treat as no checkpoint
+            import logging
+
+            logging.getLogger("vidsitu_tpu").warning(
+                "unreadable checkpoint %s (%s); ignoring", p, e
+            )
+            return None
         return {
             "params_bytes": payload.get("model_state_dict"),
             "extra_bytes": payload.get("model_extra_state"),
@@ -89,11 +106,25 @@ class PickleBackend:
         pass
 
 
+_META_KEYS = {
+    "num_it", "num_epoch", "best_met", "scheduler_state_dict", "rng",
+    "cfgtxt",  # rides the sidecar, not the tree
+}
+
+
 def _meta_to_arrays(meta: Dict[str, Any]) -> Dict[str, Any]:
     """Scalar metadata -> numpy arrays that can live inside the orbax
     tree (atomic with the weights). None floats become NaN."""
     import numpy as np
 
+    unknown = set(meta) - _META_KEYS
+    # the pickle backend round-trips arbitrary payload keys; this one
+    # hardcodes the schema — fail loudly rather than silently dropping
+    # a future metadata field on one backend only
+    assert not unknown, (
+        f"orbax backend does not persist meta keys {sorted(unknown)}; "
+        f"extend _meta_to_arrays/_meta_from_arrays"
+    )
     sched = meta.get("scheduler_state_dict") or {}
 
     def fnan(v):
@@ -129,7 +160,18 @@ def _meta_from_arrays(arrs: Dict[str, Any]) -> Dict[str, Any]:
 
 
 class OrbaxBackend:
-    """Async orbax directory checkpoints; metadata inside the tree."""
+    """Async orbax directory checkpoints; metadata inside the tree.
+
+    Durability: saves ALTERNATE between two generation dirs
+    (``tree.g0``/``tree.g1``) and a ``LIVE`` pointer file (written with
+    tmp+rename AFTER the async save commits) names the generation to
+    restore. ``force=True`` on a single fixed dir would synchronously
+    delete the previous checkpoint before the new one commits, leaving
+    a no-valid-checkpoint window for the whole async write — a crash
+    there would lose all progress. With generations, a crash at any
+    point leaves the pointed-to generation intact (at worst the resume
+    sees the previous save). Legacy single-``tree`` checkpoints (no
+    pointer) still load."""
 
     name = "orbax"
     collective = True  # orbax save/restore synchronize across processes
@@ -139,13 +181,59 @@ class OrbaxBackend:
 
         self._ocp = ocp
         self._ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        self._pending_live: Optional[tuple] = None  # (dir, gen name)
+        # per-path next generation, tracked IN MEMORY after the first
+        # save: the LIVE pointer is written by rank 0 only, so other
+        # ranks re-reading it mid-job could race it and pick a different
+        # generation than rank 0 (orbax saves are collective — all ranks
+        # must write the same dir). Save calls are lockstep across
+        # ranks, so in-memory alternation agrees everywhere; the pointer
+        # is only consulted when this process has no prior knowledge of
+        # the path (then it is a stable file from a previous job).
+        self._next_gen: Dict[str, str] = {}
 
     def _dir(self, path) -> Path:
         return Path(path).resolve()
 
+    def _live_gen(self, d: Path) -> Optional[str]:
+        ptr = d / "LIVE"
+        if ptr.is_file():
+            try:
+                name = ptr.read_text().strip()
+            except OSError:
+                return None
+            if name and (d / name).exists():
+                return name
+        return None
+
+    def _finalize_pending(self):
+        """Publish the LIVE pointer for a save that has now committed.
+        Called after wait_until_finished: a crash before this point
+        leaves the pointer on the previous (intact) generation."""
+        if self._pending_live is None:
+            return
+        d, gen = self._pending_live
+        self._pending_live = None
+        import jax
+        import os
+
+        if jax.process_index() != 0:
+            return
+        tmp = d / "LIVE.tmp"
+        tmp.write_text(gen)
+        os.replace(tmp, d / "LIVE")
+
     def save(self, path, params, extra, opt_state, meta: Dict[str, Any]):
-        self.wait()  # one in-flight async save at a time
+        self.wait()  # one in-flight async save at a time (+ publishes it)
         d = self._dir(path)
+        d.mkdir(parents=True, exist_ok=True)
+        gen = self._next_gen.get(str(d))
+        if gen is None:
+            live = self._live_gen(d)
+            gen = "tree.g1" if live == "tree.g0" else "tree.g0"
+        self._next_gen[str(d)] = (
+            "tree.g1" if gen == "tree.g0" else "tree.g0"
+        )
         tree = {
             "params": serialization.to_state_dict(params),
             "extra": serialization.to_state_dict(extra) or {},
@@ -153,17 +241,36 @@ class OrbaxBackend:
         }
         if opt_state is not None:
             tree["opt"] = serialization.to_state_dict(opt_state)
-        self._ckptr.save(d / "tree", tree, force=True)
+        # force only ever deletes the NON-live generation
+        self._ckptr.save(d / gen, tree, force=True)
+        self._pending_live = (d, gen)
         # informational sidecar only (cfgtxt); resume state lives in the
-        # tree so it commits atomically with the weights
-        with open(d.parent / (d.name + ".meta.json"), "w") as f:
-            json.dump({"cfgtxt": meta.get("cfgtxt", "")}, f)
+        # tree so it commits atomically with the weights. Rank-0 +
+        # tmp+rename: orbax saves are collective, and every rank
+        # truncating the same sidecar concurrently can tear it.
+        import jax
+        import os
+
+        if jax.process_index() == 0:
+            sidecar = d.parent / (d.name + ".meta.json")
+            tmp = Path(str(sidecar) + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump({"cfgtxt": meta.get("cfgtxt", "")}, f)
+            os.replace(tmp, sidecar)
 
     def load(self, path) -> Optional[Dict[str, Any]]:
-        d = self._dir(path)
-        if not (d / "tree").exists():
-            return None
         self.wait()
+        d = self._dir(path)
+        gen = self._live_gen(d)
+        if gen is None and (d / "tree").exists():
+            gen = "tree"  # legacy layout (pre-generation checkpoints)
+        if gen is None:
+            return None
+        if gen in ("tree.g0", "tree.g1"):
+            # resumed process: next save must not overwrite the live gen
+            self._next_gen.setdefault(
+                str(d), "tree.g1" if gen == "tree.g0" else "tree.g0"
+            )
         # Restore every leaf as HOST numpy (metadata-driven RestoreArgs).
         # The default restore re-attaches the jax.sharding recorded at
         # save time, which no longer exists after an ELASTIC restart
@@ -173,16 +280,19 @@ class OrbaxBackend:
         import jax
         import numpy as np
 
-        mt = self._ckptr.metadata(d / "tree").item_metadata.tree
+        mt = self._ckptr.metadata(d / gen).item_metadata.tree
         ra = jax.tree.map(
             lambda _: self._ocp.RestoreArgs(restore_type=np.ndarray), mt
         )
-        raw = self._ckptr.restore(d / "tree", restore_args=ra)
+        raw = self._ckptr.restore(d / gen, restore_args=ra)
         meta = _meta_from_arrays(raw["meta"])
         meta_p = d.parent / (d.name + ".meta.json")
         if meta_p.exists():
-            with open(meta_p) as f:
-                meta.update(json.load(f))
+            try:
+                with open(meta_p) as f:
+                    meta.update(json.load(f))
+            except (json.JSONDecodeError, OSError):
+                pass  # informational sidecar only — never block resume
         return {"raw": raw, "meta": meta}
 
     def restore_params(self, target, loaded):
@@ -206,6 +316,7 @@ class OrbaxBackend:
 
         self.wait()  # never delete under an in-flight async save
         d = self._dir(path)
+        self._next_gen.pop(str(d), None)
         if d.is_dir():
             shutil.rmtree(d)
         else:
@@ -215,6 +326,7 @@ class OrbaxBackend:
 
     def wait(self):
         self._ckptr.wait_until_finished()
+        self._finalize_pending()
 
 
 def get_backend(name: str):
