@@ -60,6 +60,39 @@ def test_freeze():
     assert cfg.b.c == 4
 
 
+def test_freeze_guards_full_dict_api():
+    """freeze() must also block update/pop/del/clear/setdefault — the
+    dict mutation API used to bypass the frozen check entirely."""
+    cfg = CfgNode({"a": 1, "b": {"c": 2}})
+    cfg.freeze()
+    with pytest.raises(FrozenConfigError):
+        cfg.update({"a": 9})
+    with pytest.raises(FrozenConfigError):
+        cfg.b.update({"c": 9})
+    with pytest.raises(FrozenConfigError):
+        cfg.pop("a")
+    with pytest.raises(FrozenConfigError):
+        del cfg["a"]
+    with pytest.raises(FrozenConfigError):
+        cfg.clear()
+    with pytest.raises(FrozenConfigError):
+        cfg.setdefault("new_key", 1)
+    assert cfg.setdefault("a", 99) == 1  # existing key: read-only, ok
+    assert cfg.a == 1 and cfg.b.c == 2
+    cfg.defrost()
+    cfg.update({"a": 9})
+    assert cfg.a == 9
+
+
+def test_bool_rejected_for_numeric_defaults():
+    """bool subclasses int: a typo'd boolean override must not silently
+    become lr=1.0 or bs=True (yacs rejects it too)."""
+    with pytest.raises(AssertionError):
+        get_cfg_with_overrides(**{"train.lr": True})
+    with pytest.raises(AssertionError):
+        get_cfg_with_overrides(**{"train.bs": True})
+
+
 def test_flat_dct_roundtrip():
     cfg = get_cfg_with_overrides()
     flat = CfgProcessor.cfg_to_flat_dct(cfg)

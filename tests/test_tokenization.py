@@ -100,6 +100,46 @@ def test_roberta_flavor(bpe):
     assert tok.sep_token_id in pair
 
 
+def test_specials_in_base_vocab_match_atomically(bpe, tmp_path):
+    """Official vocab.json files (roberta-base, gpt2) contain the
+    special tokens IN the base vocab. They must still match atomically
+    during encode — never BPE-split '</s>' into '</','s','>' — and the
+    atomic registration must survive a save/load round-trip."""
+    from vidsitu_tpu.tokenization.bpe import ByteLevelBPE
+
+    base = dict(bpe.encoder)
+    specials = ["<s>", "</s>", "<pad>", "<unk>", "<mask>"]
+    for sp in specials:
+        base[sp] = len(base)
+    bpe2 = ByteLevelBPE(base, list(bpe._merges_list))
+    tok = make_roberta_tokenizer(bpe2)
+    assert len(tok.added_tokens) == 0  # all specials live in the base
+    assert tok.sep_token_id == base["</s>"]
+
+    pair = tok("a man" + tok.sep_token + "a dog",
+               add_special_tokens=False)["input_ids"]
+    assert pair.count(tok.sep_token_id) == 1
+    # the literal '</s>' chars must not appear as subword ids
+    assert tok.decode(pair) == "a man</s>a dog"
+
+    tok.save_dir(tmp_path)
+    tok2 = BPETokenizer.from_dir(tmp_path)
+    assert tok2("x</s>y", add_special_tokens=False)["input_ids"].count(
+        tok2.sep_token_id
+    ) == 1
+
+
+def test_trained_bpe_vocab_is_bijective():
+    """Two merge paths can produce the same surface string; the vocab
+    must stay a bijection (no two tokens sharing one id)."""
+    for seed_corpus in (CORPUS, ["aaab aab ab b aaab aaab ab ab"] * 5,
+                        ["xyxy xy x y xyx yxy"] * 7):
+        b = train_byte_level_bpe(seed_corpus, vocab_size=400)
+        ids = list(b.encoder.values())
+        assert len(ids) == len(set(ids)), "duplicate token id"
+        assert sorted(ids) == list(range(len(ids))), "id gap"
+
+
 def test_vocabulary():
     v = Vocabulary.from_symbols(["speak.01", "walk.01"])
     assert v.pad_index == 1 and v.unk_index == 3  # fairseq order

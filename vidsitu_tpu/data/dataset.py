@@ -47,6 +47,11 @@ class VsituDS:
 
         self.comm = comm if comm else build_comm(cfg)
         self.read_files(split_type)
+        # per-item hot-path caches: the tokenizer is immutable after comm
+        # construction, so the added-vocab dict copy and the space
+        # separator encoding need not be recomputed for every __getitem__
+        self._addn_word_voc = self.comm.gpt2_hf_tok.get_added_vocab()
+        self._space_sep = self.comm.gpt2_hf_tok(" ")["input_ids"]
 
         if self.task_type == "vb":
             self.itemgetter = self.vb_only_item_getter
@@ -133,7 +138,7 @@ class VsituDS:
     ) -> Dict[str, np.ndarray]:
         agset = ["Arg0", "Arg1", "Arg2"]
         word_voc = self.comm.gpt2_hf_tok
-        addn_word_voc = word_voc.get_added_vocab()
+        addn_word_voc = self._addn_word_voc
 
         only_vb_lst_all_ev = []
         seq_lst_all_ev = []
@@ -203,7 +208,7 @@ class VsituDS:
 
         assert len(vb_id_lst) == len(seq_id_lst) == 5
         # combined 5-event sequence (dat_loader.py:308-327)
-        space_sep = word_voc(" ")["input_ids"]
+        space_sep = self._space_sep
         vb_lst_all_ev_comb: List[int] = []
         for vbi in vb_id_lst:
             vb_lst_all_ev_comb += [vbi, space_sep[0]]

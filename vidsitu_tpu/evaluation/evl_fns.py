@@ -196,10 +196,16 @@ class EvlFn_EvRel:
             if msk_lst[gix]:
                 mac_dct[g].append(corr_lst[gix])
         mac_dct2 = {k: sum(v) / len(v) for k, v in mac_dct.items() if len(v) > 0}
+        # crash-path guard (not in the reference, which divides by zero):
+        # a small/debug prediction set can have NO event with >=2-of-3
+        # annotator agreement — report 0 instead of raising
+        n_out = len(out_corr_lst)
         return {
-            "Top_1": sum(out_corr_lst) / len(out_corr_lst),
-            "Len": len(out_corr_lst),
-            "Macro_Top_1": sum(mac_dct2.values()) / len(mac_dct2),
+            "Top_1": sum(out_corr_lst) / n_out if n_out else 0.0,
+            "Len": n_out,
+            "Macro_Top_1": (
+                sum(mac_dct2.values()) / len(mac_dct2) if mac_dct2 else 0.0
+            ),
             "Macro_Top_Dct": mac_dct2,
         }
 
@@ -517,11 +523,19 @@ class EvalFnCap:
                 else:
                     sys_dct = preproc_dct(get_coref_dct_for_pred(hypo_1, vid_gts))
                 if is_lea_soft:
+                    # conv11 maps only slots annotator 0 annotated
+                    # (prepare_hyp_gts builds ix_to_meta from
+                    # gt_annotations[0]); a prediction slot that only
+                    # OTHER annotators use has no generated-sentence
+                    # CIDEr — weight it 0 rather than KeyError (the
+                    # reference indexes the same annotator-0 map and
+                    # would crash on such data)
                     cid_sc_lst = []
                     for cls1 in sys_dct:
                         cid_sc_lst.append(
                             [
                                 met_inp["cider_sent"][conv11[cls11]["aix"]]
+                                if cls11 in conv11 else 0.0
                                 for cls11 in cls1
                             ]
                         )
@@ -602,7 +616,13 @@ def evaluate_predictions(
 
     cfg = CfgProcessor().get_default_cfg()
     assert "valid" in split_type or "test" in split_type
-    fname_key = "valid" if split_type == "valid" else get_fname_key(task_type)
+    # normalize to the canonical cfg key and use the SAME key for both
+    # the path overrides and the scorer lookups: writing under
+    # get_fname_key() while the scorer reads split_files_lb[split_type]
+    # verbatim would load wrong/missing files for any split_type other
+    # than the exact canonical name (e.g. 'test', 'valid_lb')
+    fname_key = "valid" if "valid" in split_type else get_fname_key(task_type)
+    split_type = fname_key
 
     cfg.ds.vsitu.split_files_lb[fname_key] = split_file_path
     cfg.ds.vsitu.vinfo_files_lb[fname_key] = vinfo_file_path

@@ -31,16 +31,25 @@ def _merges_from_hf(tok) -> List[Tuple[str, str]]:
     return out
 
 
+def _base_vocab_from_hf(tok) -> dict:
+    if hasattr(tok, "encoder"):  # slow tokenizer: the BPE model's vocab
+        return dict(tok.encoder)
+    data = json.loads(tok._tokenizer.to_str())
+    return dict(data["model"]["vocab"])
+
+
 def from_hf_tokenizer(tok) -> BPETokenizer:
     """Build an equivalent BPETokenizer from a HF GPT-2/RoBERTa tokenizer."""
     added = dict(tok.get_added_vocab())
-    base_vocab = {
-        k: v for k, v in tok.get_vocab().items() if k not in added
-    }
-    # some added tokens exist in the base vocab too (e.g. <|endoftext|>)
-    for t, i in list(added.items()):
-        if t in base_vocab and base_vocab[t] == i:
-            del added[t]
+    # the BASE vocab is the BPE model's own (complete — no id gaps for
+    # specials that live in it, e.g. <|endoftext|>); added tokens that
+    # are ALSO base entries stay in the base vocab and are registered
+    # for atomic matching below
+    base_vocab = _base_vocab_from_hf(tok)
+    dual = [t for t, i in added.items()
+            if t in base_vocab and base_vocab[t] == i]
+    for t in dual:
+        del added[t]
     bpe = ByteLevelBPE(base_vocab, _merges_from_hf(tok))
 
     specials = {}
@@ -56,6 +65,8 @@ def from_hf_tokenizer(tok) -> BPETokenizer:
         add_bos_eos=bool(specials.get("bos_token"))
         and specials.get("bos_token") != specials.get("eos_token"),
     )
+    if dual:
+        out.add_tokens(dual)  # registers atomic_base matching
     if extra:
         out.additional_special_tokens = list(extra)
         out._rebuild()

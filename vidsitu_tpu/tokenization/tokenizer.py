@@ -41,6 +41,11 @@ class BPETokenizer:
         self.bpe = bpe
         self.special_tokens = dict(special_tokens or {})
         self.added_tokens: Dict[str, int] = dict(added_tokens or {})
+        # tokens that live in the BASE vocab but must still be matched
+        # atomically before BPE (HF semantics: a special like '</s>'
+        # already present in an official vocab.json is never split into
+        # '</','s','>' subwords). token -> its base-vocab id.
+        self.atomic_base: Dict[str, int] = {}
         self.additional_special_tokens: List[str] = list(
             (special_tokens or {}).get("additional_special_tokens", [])
         )
@@ -49,10 +54,11 @@ class BPETokenizer:
 
     def _rebuild(self):
         self._added_decoder = {v: k for k, v in self.added_tokens.items()}
-        if self.added_tokens:
+        self._atomic = {**self.atomic_base, **self.added_tokens}
+        if self._atomic:
             pat = "|".join(
                 re.escape(t)
-                for t in sorted(self.added_tokens, key=len, reverse=True)
+                for t in sorted(self._atomic, key=len, reverse=True)
             )
             self._added_pat = re.compile(f"({pat})")
         else:
@@ -78,10 +84,17 @@ class BPETokenizer:
         return None
 
     def add_tokens(self, tokens: List[str]) -> int:
-        """Append new atomic tokens at the end of the vocab (HF semantics)."""
+        """Append new atomic tokens at the end of the vocab (HF semantics).
+        A token already in the BASE vocab keeps its id but is still
+        registered for atomic matching (HF never BPE-splits an added
+        token, wherever its id lives)."""
         n_added = 0
         for t in tokens:
-            if self._token_id(t) is None:
+            if t in self.added_tokens or t in self.atomic_base:
+                continue
+            if t in self.bpe.encoder:
+                self.atomic_base[t] = self.bpe.encoder[t]
+            else:
                 self.added_tokens[t] = len(self)
                 n_added += 1
         self._rebuild()
@@ -172,8 +185,8 @@ class BPETokenizer:
         for chunk in self._added_pat.split(text):
             if not chunk:
                 continue
-            if chunk in self.added_tokens:
-                ids.append(self.added_tokens[chunk])
+            if chunk in self._atomic:
+                ids.append(self._atomic[chunk])
             else:
                 ids.extend(self.bpe.encode_ordinary(chunk))
         return ids
@@ -216,6 +229,7 @@ class BPETokenizer:
         meta = {
             "special_tokens": self.special_tokens,
             "added_tokens": self.added_tokens,
+            "atomic_base": self.atomic_base,
             "additional_special_tokens": self.additional_special_tokens,
             "add_bos_eos": self.add_bos_eos,
         }
@@ -241,6 +255,9 @@ class BPETokenizer:
         tok.additional_special_tokens = list(
             meta.get("additional_special_tokens", [])
         )
+        tok.atomic_base = {
+            k: int(v) for k, v in meta.get("atomic_base", {}).items()
+        }
         tok._rebuild()
         return tok
 

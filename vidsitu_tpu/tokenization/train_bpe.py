@@ -45,7 +45,12 @@ def train_byte_level_bpe(
         best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
         merges.append(best)
         merged = best[0] + best[1]
-        vocab[merged] = len(vocab)
+        # two different merge paths can produce the same surface string
+        # (e.g. (a,bcd) and (ab,cd) -> 'abcd'): the symbol keeps its
+        # first id — re-assigning len(vocab) would hand the same id to
+        # the NEXT new symbol and break the id<->token bijection
+        if merged not in vocab:
+            vocab[merged] = len(vocab)
         first, second = best
         for w in words:
             i = 0

@@ -93,6 +93,46 @@ class CfgNode(dict):
             value = CfgNode(value)
         super().__setitem__(name, value)
 
+    def _guard_frozen(self, op: str):
+        if self.is_frozen():
+            raise FrozenConfigError(
+                f"Attempted to {op} on a frozen CfgNode"
+            )
+
+    # the rest of the dict mutation API must honor freeze() too —
+    # guarding only __setitem__/__setattr__ lets cfg.update(...) /
+    # del cfg[k] / cfg.pop(k) mutate a supposedly immutable config
+    def update(self, *args, **kwargs):
+        self._guard_frozen("update")
+        for k, v in dict(*args, **kwargs).items():
+            self[k] = v
+
+    def __delitem__(self, name):
+        self._guard_frozen(f"delete key '{name}'")
+        super().__delitem__(name)
+
+    def __delattr__(self, name):
+        del self[name]
+
+    def pop(self, *args, **kwargs):
+        self._guard_frozen("pop")
+        return super().pop(*args, **kwargs)
+
+    def popitem(self):
+        self._guard_frozen("popitem")
+        return super().popitem()
+
+    def clear(self):
+        self._guard_frozen("clear")
+        super().clear()
+
+    def setdefault(self, key, default=None):
+        if key in self:
+            return self[key]
+        self._guard_frozen(f"setdefault key '{key}'")
+        self[key] = default
+        return self[key]
+
     # -- freezing ----------------------------------------------------------
     def is_frozen(self) -> bool:
         return object.__getattribute__(self, CfgNode._FROZEN_KEY)
@@ -194,6 +234,13 @@ def _check_and_coerce(new: Any, old: Any, full_key: str) -> Any:
         raise AssertionError(
             f"type mismatch for key {full_key}: expected bool, got {type(new)}"
         )
+    if isinstance(new, bool) and isinstance(old, (int, float)):
+        # bool subclasses int: a typo'd boolean override would silently
+        # become lr=1.0 / bs=True instead of failing like yacs
+        raise AssertionError(
+            f"type mismatch for key {full_key}: expected {type(old)}, "
+            f"got bool"
+        )
     if isinstance(old, float) and isinstance(new, int):
         return float(new)
     if isinstance(old, tuple) and isinstance(new, list):
@@ -294,7 +341,7 @@ class CfgProcessor:
 
     @staticmethod
     def to_str(cfg: CfgNode) -> str:
-        return yaml.safe_dump(cfg.to_dict(), sort_keys=True)
+        return cfg.dump_yaml()
 
 
 def get_cfg_with_overrides(uid: str = "tmp", **kwargs) -> CfgNode:
