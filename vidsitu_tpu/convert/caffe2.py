@@ -74,11 +74,18 @@ def _map_single(name: str, arr, pathway: int, out: Dict[str, np.ndarray]):
         base = f"s{stage}.pathway{p}_nonlocal{block}"
         if part == "bn":
             suf = {"_s": "weight", "_b": "bias", "_rm": "running_mean",
-                   "_riv": "running_var"}[rest]
+                   "_riv": "running_var"}.get(rest)
+            if suf is None:
+                return False  # unknown suffix -> diagnostics, not a crash
             out[f"{base}.bn.{suf}"] = arr
-        else:
-            assert rest == "_w", name
+        elif rest == "_w":
             out[f"{base}.conv_{part}.weight"] = arr
+        elif rest == "_b":
+            # PySlowFast's Nonlocal convs are biased; real caffe2 NLN
+            # checkpoints carry these blobs
+            out[f"{base}.conv_{part}.bias"] = arr
+        else:
+            return False
         return True
     m = _RES_RE.match(name)
     if m:
@@ -93,7 +100,9 @@ def _map_single(name: str, arr, pathway: int, out: Dict[str, np.ndarray]):
         else:
             suf = {"_bn_s": "weight", "_bn_b": "bias",
                    "_bn_rm": "running_mean",
-                   "_bn_riv": "running_var"}[rest]
+                   "_bn_riv": "running_var"}.get(rest)
+            if suf is None:
+                return False  # unknown suffix -> diagnostics, not a crash
             bn = f"{base}.branch1_bn" if branch == "1" else (
                 f"{base}.branch2.{sub}_bn"
             )
@@ -168,3 +177,13 @@ def convert_caffe2_backbone(
                 len(real), real[:3],
             )
     return convert_video_backbone(sd, arch, strict=strict)
+
+
+def convert_caffe2_checkpoint(path, arch: str, strict: bool = False) -> Dict:
+    """The documented one-call entry point (EXPTS.md): caffe2 pkl ->
+    flax ``variables`` dict ``{"params": {"backbone": ...},
+    "batch_stats": {"backbone": ...}}`` ready for pretrained loading
+    (train/pretrained.py consumes this layout)."""
+    params, stats = convert_caffe2_backbone(path, arch, strict=strict)
+    return {"params": {"backbone": params},
+            "batch_stats": {"backbone": stats}}

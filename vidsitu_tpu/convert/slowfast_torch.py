@@ -131,6 +131,9 @@ def convert_video_backbone(
                 ):
                     _set(params, nl + (ours, "kernel"),
                          _conv_w(sd[f"{src}.{src_name}.weight"]))
+                    # PySlowFast's Nonlocal 1x1x1 convs are biased
+                    _set(params, nl + (ours, "bias"),
+                         sd[f"{src}.{src_name}.bias"])
                 _set(params, nl + ("bn", "scale"), sd[f"{src}.bn.weight"])
                 _set(params, nl + ("bn", "bias"), sd[f"{src}.bn.bias"])
                 _set(stats, nl + ("bn", "mean"), sd[f"{src}.bn.running_mean"])

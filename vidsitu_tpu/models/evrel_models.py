@@ -39,7 +39,6 @@ PAIR_IDX_B = (2, 2, 3, 4)
 class EvrelModel(nn.Module):
     mdl_name: str
     rob_cfg: RobertaCfg
-    feat_dim: int = 2048
 
     def setup(self):
         assert self.mdl_name in EVREL_MDL_NAMES, self.mdl_name
@@ -89,14 +88,27 @@ class EvrelModel(nn.Module):
         else:
             toks, lens = self._get_src(inp)  # (B, 5, N, L)
             b, nev5, nann, slen = toks.shape
-            flat = toks.reshape(b * nev5 * nann, slen)
-            attn = lens.reshape(b * nev5 * nann, slen)
-            pooler = self.rob_mdl(flat, attn, deterministic=deterministic)[
-                "pooler_output"
-            ]
-            pooler5 = pooler.reshape(b, 5, nann, -1)
             if self.mdl_name == "sfpret_onlyvid_evrel":
-                pooler5 = jnp.zeros_like(pooler5)
+                # the language pathway is ZEROED for this ablation
+                # (mdl_evrel.py:138-188) — skip the RoBERTa forward whose
+                # output would be multiplied by zero anyway (the dominant
+                # compute of the model, fwd+bwd). Initialize rob_mdl's
+                # params anyway so the tree matches the reference's
+                # state_dict (torch registers params at construction)
+                if self.is_initializing():
+                    flat0 = toks.reshape(b * nev5 * nann, slen)
+                    attn0 = lens.reshape(b * nev5 * nann, slen)
+                    _ = self.rob_mdl(flat0, attn0, deterministic=True)
+                pooler5 = jnp.zeros(
+                    (b, 5, nann, self.rob_cfg.d_model), self.rob_cfg.dtype
+                )
+            else:
+                flat = toks.reshape(b * nev5 * nann, slen)
+                attn = lens.reshape(b * nev5 * nann, slen)
+                pooler = self.rob_mdl(
+                    flat, attn, deterministic=deterministic
+                )["pooler_output"]
+                pooler5 = pooler.reshape(b, 5, nann, -1)
 
             vis = self.vid_feat_encoder(
                 inp["frm_feats"].astype(self.rob_cfg.dtype)
@@ -124,7 +136,6 @@ class EvrelModel(nn.Module):
 
 def build_evrel_model(cfg, comm):
     from .selector import compute_dtypes
-    from .srl_models import get_head_dim
 
     dtype, param_dtype = compute_dtypes(cfg)
     tok = comm.rob_hf_tok
@@ -144,9 +155,4 @@ def build_evrel_model(cfg, comm):
         dtype=dtype,
         param_dtype=param_dtype,
     )
-    feat_dim = get_head_dim(cfg) if cfg.mdl.mdl_name.startswith("sfpret") or (
-        cfg.mdl.mdl_name == "txe_evrel"
-    ) else 0
-    return EvrelModel(
-        mdl_name=cfg.mdl.mdl_name, rob_cfg=rob_cfg, feat_dim=feat_dim
-    )
+    return EvrelModel(mdl_name=cfg.mdl.mdl_name, rob_cfg=rob_cfg)

@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from ..gen.beam import GenConfig
 from ..gen.generate import make_srl_generator
-from .srl_models import SRL_MDL_NAMES, SRLModel, get_head_dim
+from .srl_models import SRL_MDL_NAMES, SRLModel
 from .transformer import TxConfig
 
 DTYPES = {
@@ -63,14 +63,9 @@ def build_model(cfg, comm):
             cfg.tx_dec, len(tok), tok.pad_token_id, side="encoder",
             dtype=dtype, param_dtype=param_dtype,
         )
-        feat_dim = (
-            get_head_dim(cfg)
-            if mdl_name in ("sfpret_txed_vbarg", "sfpret_txe_txd_vbarg")
-            else 0
-        )
         return SRLModel(
             mdl_name=mdl_name, dec_cfg=dec_cfg, enc_cfg=enc_cfg,
-            feat_dim=feat_dim, tx_enc_type=cfg.mdl.tx_enc_type,
+            tx_enc_type=cfg.mdl.tx_enc_type,
         )
     if task == "vb":
         from .vb_models import build_vb_model

@@ -70,7 +70,6 @@ class SRLModel(nn.Module):
     mdl_name: str
     dec_cfg: TxConfig
     enc_cfg: Optional[TxConfig] = None
-    feat_dim: int = 2048
     tx_enc_type: str = "new"
 
     @property
@@ -129,9 +128,17 @@ class SRLModel(nn.Module):
             return out.reshape(b * 5, 1, -1), None
         # sfpret_txe_txd_vbarg: context across the 5 events, then split
         # back to per-event memories (mdl_sf_base.py:806-832)
+        # 'old' and 'new_conc' mirror fairseq's TransformerEncoder
+        # (TxEncoderOld / TxEncoderNew_Conc subclassing it,
+        # mdl_sf_base.py:246-420): sinusoidal positions AND the
+        # sqrt(d_model) embed scale apply to the passed-in feature
+        # embeddings (forward_embedding scales token_embeddings too);
+        # 'new' is the local pe=False transformer (no scale, no pos)
+        fairseq_like = self.tx_enc_type in ("old", "new_conc")
         ctx = self.vid_feat_txenc(
             token_embeddings=out,
-            add_positions=(self.tx_enc_type == "old"),
+            add_positions=fairseq_like,
+            scale_embeddings=fairseq_like,
             deterministic=deterministic,
         )  # (B, 5, D)
         if self.tx_enc_type == "new_conc":
@@ -142,6 +149,14 @@ class SRLModel(nn.Module):
     def __call__(
         self, inp: Dict[str, jnp.ndarray], deterministic: bool = True
     ) -> Dict[str, jnp.ndarray]:
+        # REFERENCE QUIRK (faithfully preserved): the decoder input is the
+        # UNSHIFTED sequence [verb, args..., eos] — the reference feeds
+        # dst_toks directly as prev_tokens and losses logits[:-1] vs
+        # toks[1:] (Simple_TxDec.forward, mdl_sf_base.py:636-653; its
+        # add_prev_tokens helper exists but is never called), while
+        # generation starts from eos-as-bos with the verb forced at step
+        # 0 (forward_gen :658-663). Training therefore never sees the
+        # bos input the generator starts from; we reproduce exactly that.
         toks = inp["seq_out_by_ev"][:, :, 0, :]  # (B, 5, 60)
         b = toks.shape[0]
         toks_flat = toks.reshape(b * 5, -1)

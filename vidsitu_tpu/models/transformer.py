@@ -415,15 +415,25 @@ class TransformerEncoder(nn.Module):
         pad_mask: Optional[jnp.ndarray] = None,
         add_positions: bool = True,
         deterministic: bool = True,
+        scale_embeddings: Optional[bool] = None,
     ) -> jnp.ndarray:
+        """``scale_embeddings``: apply the sqrt(d_model) embed scale to
+        PASSED-IN token_embeddings. fairseq's forward_embedding scales
+        token_embeddings too (x = embed_scale * token_embedding), so
+        fairseq-semantics callers (tx_enc_type old/new_conc) must pass
+        True; the local-transformer flavor (new) passes False. Default
+        None keeps the token-id path's behavior (scale iff
+        cfg.scale_embed)."""
         c = self.cfg
         if token_embeddings is None:
             assert src_tokens is not None
             token_embeddings = self.embed_tokens(src_tokens)
             if pad_mask is None:
                 pad_mask = (src_tokens != c.pad_id).astype(jnp.int32)
+            if scale_embeddings is None:
+                scale_embeddings = True
         x = token_embeddings
-        if c.scale_embed and src_tokens is not None:
+        if c.scale_embed and bool(scale_embeddings):
             x = x * jnp.sqrt(c.d_model).astype(x.dtype)
         if add_positions:
             x = x + self._pos(x.shape[1])[None]

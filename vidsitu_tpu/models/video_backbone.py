@@ -32,11 +32,18 @@ from flax import linen as nn
 Dtype = Any
 
 # temporal kernel sizes per (arch, pathway, stage): stem + res2..res5
+# Per-stage temporal-kernel PATTERNS (PySlowFast _TEMPORAL_KERNEL_BASIS,
+# video_model_builder.py): a stage's pattern is tiled across its blocks
+# — i3d res3/res4 alternate (3,1) per block and res5 alternates (1,3),
+# NOT a single kernel per stage.
 TEMPORAL_KERNELS = {
-    "c2d": {"fast": [1, 1, 1, 1, 1]},
-    "i3d": {"fast": [5, 3, 3, 3, 3]},
-    "slow": {"fast": [1, 1, 1, 3, 3]},
-    "slowfast": {"slow": [1, 1, 1, 3, 3], "fast": [5, 3, 3, 3, 3]},
+    "c2d": {"fast": [(1,), (1,), (1,), (1,), (1,)]},
+    "i3d": {"fast": [(5,), (3,), (3, 1), (3, 1), (1, 3)]},
+    "slow": {"fast": [(1,), (1,), (1,), (3,), (3,)]},
+    "slowfast": {
+        "slow": [(1,), (1,), (1,), (3,), (3,)],
+        "fast": [(5,), (3,), (3,), (3,), (3,)],
+    },
 }
 
 # temporal pool after s2 (SlowFast _POOL1): i3d/c2d pool T by 2
@@ -273,12 +280,14 @@ class NonLocalBlock(nn.Module):
         c = self.cfg
         b, t, h, w, ch = x.shape
         inner = ch // 2
-        theta = nn.Conv(inner, (1, 1, 1), use_bias=False, dtype=c.dtype,
+        # biased 1x1x1 convs, as in PySlowFast's Nonlocal (its caffe2
+        # checkpoints carry *_b blobs for theta/phi/g/out)
+        theta = nn.Conv(inner, (1, 1, 1), dtype=c.dtype,
                         param_dtype=c.param_dtype, name="theta")(x)
         pooled = nn.max_pool(x, (1, 2, 2), strides=(1, 2, 2))
-        phi = nn.Conv(inner, (1, 1, 1), use_bias=False, dtype=c.dtype,
+        phi = nn.Conv(inner, (1, 1, 1), dtype=c.dtype,
                       param_dtype=c.param_dtype, name="phi")(pooled)
-        g = nn.Conv(inner, (1, 1, 1), use_bias=False, dtype=c.dtype,
+        g = nn.Conv(inner, (1, 1, 1), dtype=c.dtype,
                     param_dtype=c.param_dtype, name="g")(pooled)
 
         q = theta.reshape(b, -1, inner)
@@ -289,7 +298,7 @@ class NonLocalBlock(nn.Module):
         out = nonlocal_attention(
             q, k, v, kind=c.nl_instantiation, scale=float(inner) ** -0.5
         ).astype(c.dtype).reshape(b, t, h, w, inner)
-        out = nn.Conv(ch, (1, 1, 1), use_bias=False, dtype=c.dtype,
+        out = nn.Conv(ch, (1, 1, 1), dtype=c.dtype,
                       param_dtype=c.param_dtype, name="out")(out)
         out = nn.BatchNorm(
             use_running_average=not train, momentum=c.bn_momentum,
@@ -410,7 +419,7 @@ class ResStage(nn.Module):
     n_blocks: int
     dim_out: int
     dim_inner: int
-    temp_kernel: int
+    temp_kernels: Tuple[int, ...]  # tiled across blocks (PySlowFast)
     spatial_stride: int
     nl_blocks: Tuple[int, ...]
     cfg: VideoCfg
@@ -426,7 +435,7 @@ class ResStage(nn.Module):
             x = block_cls(
                 dim_out=self.dim_out,
                 dim_inner=self.dim_inner,
-                temp_kernel=self.temp_kernel,
+                temp_kernel=self.temp_kernels[i % len(self.temp_kernels)],
                 spatial_stride=self.spatial_stride if i == 0 else 1,
                 cfg=self.cfg,
                 name=f"block_{i}",
@@ -496,8 +505,8 @@ class SlowFastBackbone(nn.Module):
         tk_s = TEMPORAL_KERNELS["slowfast"]["slow"]
         tk_f = TEMPORAL_KERNELS["slowfast"]["fast"]
 
-        slow = Stem(w, tk_s[0], c, name="s1_slow")(slow, train)
-        fast = Stem(wf, tk_f[0], c, name="s1_fast")(fast, train)
+        slow = Stem(w, tk_s[0][0], c, name="s1_slow")(slow, train)
+        fast = Stem(wf, tk_f[0][0], c, name="s1_fast")(fast, train)
         slow, fast = FuseFastToSlow(wf, c, name="s1_fuse")(slow, fast, train)
 
         outs_s = [256, 512, 1024, 2048]
@@ -530,7 +539,7 @@ class ResNet3DBackbone(nn.Module):
     def __call__(self, x, train: bool = False):
         c = self.cfg
         tk = TEMPORAL_KERNELS[c.arch]["fast"]
-        x = Stem(c.width, tk[0], c, name="s1")(x, train)
+        x = Stem(c.width, tk[0][0], c, name="s1")(x, train)
         tpool = TEMPORAL_POOL[c.arch]
         outs = [256, 512, 1024, 2048]
         inner = [64, 128, 256, 512]
