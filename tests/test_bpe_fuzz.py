@@ -69,10 +69,15 @@ def _random_strings(n=300, seed=7):
 
 
 def test_fuzz_roundtrip_and_native(bpe):
+    """encode_ordinary dispatches to the native core when available, so
+    the parity assertion must pin the PURE-PYTHON reference against it
+    (native.encode(s) == bpe.encode_ordinary(s) would compare the
+    native path with itself)."""
     native = bpe._native_core()
     for s in _random_strings():
         ids = bpe.encode_ordinary(s)
         assert bpe.decode_ordinary(ids) == s, repr(s)
+        assert bpe._encode_ordinary_py(s) == ids, repr(s)
         if native is not None:
             assert native.encode(s) == ids, repr(s)
 

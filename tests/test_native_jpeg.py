@@ -141,11 +141,16 @@ def test_missing_file_raises(jpeg_dir, tmp_path):
         decode_resize_batch([jpeg_dir[0], tmp_path / "nope.jpg"], 224)
 
 
-def test_corrupt_file_raises(tmp_path):
+def test_corrupt_file_falls_back_then_pil_raises(tmp_path):
+    """Undecodable-but-existing files return None (PIL fallback: some
+    files the native core rejects — CMYK/YCCK — PIL decodes fine); for
+    genuinely corrupt data the PIL path then raises, so garbage never
+    reaches the model either way."""
     bad = tmp_path / "bad.jpg"
     bad.write_bytes(b"\xff\xd8 this is not a jpeg")
-    with pytest.raises(ValueError):
-        decode_resize_batch([bad], 224)
+    assert decode_resize_batch([bad], 224) is None
+    with pytest.raises(Exception):
+        read_img_batch([bad], out_hw=224)
 
 
 def test_empty_batch():
@@ -163,11 +168,13 @@ def test_read_img_batch_falls_back_without_native(jpeg_dir, monkeypatch):
     assert np.array_equal(native, pil)
 
 
-def test_truncated_stream_raises(jpeg_dir, tmp_path):
-    """A JPEG cut off mid-scan must error, not return garbage (PIL
-    would raise too unless LOAD_TRUNCATED_IMAGES is set)."""
+def test_truncated_stream_never_returns_garbage(jpeg_dir, tmp_path):
+    """A JPEG cut off mid-scan must not return garbage: the native core
+    reports it (None -> PIL fallback) and PIL raises too (unless
+    LOAD_TRUNCATED_IMAGES is set)."""
     data = jpeg_dir[0].read_bytes()
     trunc = tmp_path / "trunc.jpg"
     trunc.write_bytes(data[: len(data) // 3])
-    with pytest.raises(ValueError):
-        decode_resize_batch([trunc], 224)
+    assert decode_resize_batch([trunc], 224) is None
+    with pytest.raises(Exception):
+        read_img_batch([trunc], out_hw=224)

@@ -31,7 +31,13 @@ _LIB = None
 _LIB_FAILED = False
 
 
-def _build(src_name: str, lib_stem: str, extra_flags=()) -> Optional[Path]:
+def _build(
+    src_name: str,
+    lib_stem: str,
+    extra_flags=(),
+    extra_deps=(),
+    host_specific: bool = False,
+) -> Optional[Path]:
     src = _SRC_DIR / src_name
     cache = Path(
         os.environ.get(
@@ -40,12 +46,39 @@ def _build(src_name: str, lib_stem: str, extra_flags=()) -> Optional[Path]:
         )
     )
     cache.mkdir(parents=True, exist_ok=True)
-    lib = cache / f"lib{lib_stem}_{sys.version_info[0]}.so"
-    if lib.exists() and lib.stat().st_mtime >= src.stat().st_mtime:
+    key = str(sys.version_info[0])
+    if host_specific:
+        # -march=native output must never be shared across CPU models
+        # (VIDSITU_NATIVE_CACHE on NFS across a heterogeneous fleet would
+        # SIGILL mid-batch): key the filename on the CPU model
+        import hashlib
+        import platform
+
+        model = ""
+        try:
+            with open("/proc/cpuinfo") as f:
+                for ln in f:
+                    if ln.startswith("model name"):
+                        model = ln.split(":", 1)[1].strip()
+                        break
+        except OSError:
+            pass
+        key += "_" + hashlib.sha1(
+            f"{platform.machine()}|{model}".encode()
+        ).hexdigest()[:10]
+    lib = cache / f"lib{lib_stem}_{key}.so"
+    # staleness vs EVERY source the object depends on (e.g. the
+    # generated unicode tables header, not just the .cpp)
+    deps = [src] + [_SRC_DIR / d for d in extra_deps]
+    newest_src = max(d.stat().st_mtime for d in deps if d.exists())
+    if lib.exists() and lib.stat().st_mtime >= newest_src:
         return lib
+    # compile to a private tmp then atomic-rename: a concurrent process
+    # must never CDLL a half-written .so (and then cache the failure)
+    tmp = lib.with_name(lib.name + f".tmp{os.getpid()}")
     cmd = [
         "g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-        str(src), "-o", str(lib), *extra_flags,
+        str(src), "-o", str(tmp), *extra_flags,
     ]
     try:
         proc = subprocess.run(
@@ -53,17 +86,22 @@ def _build(src_name: str, lib_stem: str, extra_flags=()) -> Optional[Path]:
         )
     except (OSError, subprocess.TimeoutExpired) as e:
         _LOG.info("native %s build unavailable: %s", lib_stem, e)
+        tmp.unlink(missing_ok=True)
         return None
     if proc.returncode != 0:
         _LOG.warning(
             "native %s build failed:\n%s", lib_stem, proc.stderr[-2000:]
         )
+        tmp.unlink(missing_ok=True)
         return None
+    os.replace(tmp, lib)
     return lib
 
 
 def _build_lib() -> Optional[Path]:
-    return _build("bpe_core.cpp", "bpe_core")
+    return _build(
+        "bpe_core.cpp", "bpe_core", extra_deps=("unicode_tables.h",)
+    )
 
 
 def load_bpe_core():
@@ -123,7 +161,14 @@ class NativeBPE:
             )
             if n >= 0:
                 return list(out[:n])
-            cap *= 2
+            if n == -2:
+                # non-closed vocab/merges: the pure-Python path raises
+                # KeyError here — mirror it instead of dropping tokens
+                raise KeyError(
+                    f"BPE piece missing from vocab while encoding "
+                    f"{text[:60]!r}"
+                )
+            cap *= 2  # -1: output buffer too small
 
     def __del__(self):
         try:
@@ -148,9 +193,11 @@ def load_jpeg_core():
         return None
     lib_path = _build(
         "jpeg_core.cpp", "jpeg_core",
-        # built per-host into the cache dir, so -march=native is safe;
-        # it vectorizes the resample inner loops
+        # -march=native vectorizes the resample inner loops; the cache
+        # filename is keyed on the CPU model (host_specific) so a shared
+        # cache dir can never serve another host's instruction set
         extra_flags=("-O3", "-march=native", "-ljpeg"),
+        host_specific=True,
     )
     if lib_path is None:
         _JPEG_FAILED = True
@@ -188,8 +235,10 @@ def decode_resize_batch(paths, out_hw: int, n_threads: int = 0,
     sufficient DCT scale first — faster, not pixel-identical.
     ``n_threads=0`` uses the host's CPU count.
 
-    Raises FileNotFoundError/ValueError on unreadable or non-RGB-
-    decodable inputs (the PIL path would raise too).
+    Missing files raise FileNotFoundError (the PIL path raises too).
+    Files libjpeg cannot decode straight to RGB (e.g. CMYK/YCCK JPEGs,
+    which PIL's convert('RGB') handles) return None so the caller falls
+    back to the PIL path for the batch.
     """
     import numpy as np
 
@@ -212,7 +261,14 @@ def decode_resize_batch(paths, out_hw: int, n_threads: int = 0,
         bad = paths[-rc - 1]
         if not os.path.exists(bad):
             raise FileNotFoundError(bad)
-        raise ValueError(f"native jpeg decode failed for {bad}")
+        # decodable-by-PIL-but-not-by-this-core inputs (CMYK/YCCK color
+        # spaces, exotic markers): fall back to the PIL path rather than
+        # failing the whole 300-frame batch on one odd file
+        _LOG.warning(
+            "native jpeg decode failed for %s; falling back to PIL "
+            "for this batch", bad,
+        )
+        return None
     return out
 
 

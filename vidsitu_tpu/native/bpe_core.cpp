@@ -142,9 +142,11 @@ int64_t pack(int32_t a, int32_t b) {
 }
 
 // Apply the ranked merge loop to the byte-encoded pre-token; append the
-// resulting vocab ids (unknown pieces are skipped, matching the Python
-// core's KeyError-free contract — callers guarantee closed vocabs).
-void bpe_word(Bpe* h, const std::string& token,
+// resulting vocab ids. Returns false when a final piece is missing from
+// the vocab (a non-closed vocab/merges pair) — the Python core raises
+// KeyError there, and silently dropping ids would change model inputs
+// depending on whether a C++ toolchain was available.
+bool bpe_word(Bpe* h, const std::string& token,
               const std::vector<int32_t>& start_syms,
               std::vector<int32_t>* out) {
   {
@@ -152,7 +154,7 @@ void bpe_word(Bpe* h, const std::string& token,
     auto cit = h->cache.find(token);
     if (cit != h->cache.end()) {
       out->insert(out->end(), cit->second.begin(), cit->second.end());
-      return;
+      return true;
     }
   }
   std::vector<int32_t> word = start_syms;
@@ -189,13 +191,15 @@ void bpe_word(Bpe* h, const std::string& token,
   ids.reserve(word.size());
   for (int32_t s : word) {
     auto it = h->vocab.find(h->sym[s]);
-    if (it != h->vocab.end()) ids.push_back(it->second);
+    if (it == h->vocab.end()) return false;  // non-closed vocab
+    ids.push_back(it->second);
   }
   {
     std::lock_guard<std::mutex> lock(h->cache_mu);
     h->cache.emplace(token, ids);
   }
   out->insert(out->end(), ids.begin(), ids.end());
+  return true;
 }
 
 }  // namespace
@@ -251,7 +255,9 @@ void* bpe_create(const char* vocab_buf, const char* merges_buf) {
 void bpe_destroy(void* handle) { delete (Bpe*)handle; }
 
 // GPT-2 pre-tokenize + BPE-encode UTF-8 `text` into `out` (capacity
-// `out_cap`); returns the id count, or -1 if out_cap is too small.
+// `out_cap`); returns the id count, -1 if out_cap is too small, or -2
+// when a piece is missing from the vocab (non-closed vocab/merges —
+// the Python path raises KeyError; the wrapper mirrors that).
 int32_t bpe_encode(void* handle, const char* text, int32_t text_len,
                    int32_t* out, int32_t out_cap) {
   Bpe* h = (Bpe*)handle;
@@ -280,6 +286,7 @@ int32_t bpe_encode(void* handle, const char* text, int32_t text_len,
   std::vector<int32_t> ids;
   std::vector<int32_t> word_syms;
   std::string token_bytes;
+  bool vocab_ok = true;
 
   auto emit_span = [&](size_t c0, size_t c1) {
     // byte-encode the span and run the merge loop
@@ -291,7 +298,7 @@ int32_t bpe_encode(void* handle, const char* text, int32_t text_len,
       token_bytes += h->byte_str[s[b]];
       word_syms.push_back(h->byte_sym[s[b]]);
     }
-    bpe_word(h, token_bytes, word_syms, &ids);
+    if (!bpe_word(h, token_bytes, word_syms, &ids)) vocab_ok = false;
   };
 
   // GPT-2 pattern, alternatives in order:
@@ -367,6 +374,7 @@ int32_t bpe_encode(void* handle, const char* text, int32_t text_len,
     i++;  // unreachable guard
   }
 
+  if (!vocab_ok) return -2;
   if ((int32_t)ids.size() > out_cap) return -1;
   memcpy(out, ids.data(), ids.size() * sizeof(int32_t));
   return (int32_t)ids.size();
