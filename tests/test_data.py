@@ -45,6 +45,11 @@ def test_pad_tokens_right_and_eos():
     ids3, mask3 = pad_tokens([5, 6], 0, "left", False, 9, 4)
     assert ids3.tolist() == [0, 0, 5, 6]
     assert mask3 == [0, 0, 1, 1]
+    # left pad + eos: [pad..., seq, eos] — the eos used to land inside
+    # the padding region with the mask covering a pad instead
+    ids4, mask4 = pad_tokens([7, 8], 0, "left", True, 2, 6)
+    assert ids4.tolist() == [0, 0, 0, 7, 8, 2]
+    assert mask4 == [0, 0, 0, 1, 1, 1]
 
 
 def test_add_prev_tokens():

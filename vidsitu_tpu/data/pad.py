@@ -35,9 +35,12 @@ def pad_tokens(
         else:
             if pad_side == "right":
                 out[:curr_len] = lst
+                out[curr_len] = eos_index
             else:
-                out[max_len - curr_len :] = lst
-            out[curr_len] = eos_index
+                # left padding: [pad..., seq, eos] — writing the eos at
+                # index curr_len would land it inside the padding region
+                out[max_len - curr_len - 1 : max_len - 1] = lst
+                out[max_len - 1] = eos_index
             out_len = curr_len + 1
     else:
         if curr_len >= max_len:

@@ -22,9 +22,13 @@ a hook: pass ``Meteor(synonyms=...)`` a :class:`SynonymTable`, a
 ``{word: [synset_ids]}`` dict, a JSON file of that mapping, or a
 directory in the nltk WordNet corpus layout (``index.noun`` etc.); or
 set ``$VIDSITU_METEOR_SYNONYMS`` to such a path to enable it through
-the evl_fns scorer registry. Without data the scorer stays exact+stem
-and is exact-equal to nltk's meteor_score with synonyms off (asserted
-in tests). The synonym stage matches when the tokens' synset-id sets
+the evl_fns scorer registry. Without data the scorer stays exact+stem,
+using the ORIGINAL 1980 Porter algorithm — exact-equal to nltk's
+meteor_score(stemmer=PorterStemmer(MODE=ORIGINAL_ALGORITHM), wordnet
+off), as asserted in tests. Note nltk's DEFAULT stemmer mode is
+NLTK_EXTENSIONS (different stems, different scores), and the
+reference's actual scorer is the METEOR 1.5 jar (unavailable here);
+reported METEOR numbers are comparable only to runs of THIS scorer. The synonym stage matches when the tokens' synset-id sets
 intersect; lookup is on the surface form with a Porter-stem fallback
 (WordNet indexes lemmas — nltk's choice of looking up stems misses
 entries like 'feline'->'felin'; the METEOR jar matches surfaces).

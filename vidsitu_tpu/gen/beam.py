@@ -11,8 +11,10 @@ formulation:
   * candidates that emit EOS move to the finished set, scored by
     fairseq's normalization ``score / (step + 1) ** len_penalty``
     (seq_gen.py:625-626);
-  * early exit when no alive beam can still beat the worst finished
-    hypothesis (replaces fairseq's batch shrinking).
+  * early exit when EVERY sentence's finalized quota is full (the
+    whole-batch expression of fairseq's per-sentence batch shrinking;
+    there is no score-based termination — matching fairseq, which also
+    only drops a sentence once beam_size hypotheses finalize).
 
 Feature parity with ``cfg.gen``: beam_size, max_len_b, min_len,
 normalize_scores, len_penalty, unk_penalty, temperature, prefix forcing
@@ -448,11 +450,18 @@ def beam_search(
 
     bounds: Tuple[int, ...] = (n_steps,)
     if seg_bounds is not None and grow_cache_fn is not None:
-        # an inner bound of n_steps-1 would produce a zero-growth cache
-        # copy plus a duplicate compiled loop for the single forced-EOS
-        # step — require every segment to actually grow the cache
+        # the caller sized init_cache for its FIRST bound (+1); a bound
+        # <= 0 would mean a length<=1 cache whose writes clamp and
+        # silently corrupt the decode — reject instead
+        assert all(int(b) >= 1 for b in seg_bounds), (
+            f"seg_bounds must be >= 1, got {seg_bounds}"
+        )
+        # bounds >= n_steps-1 are safe to DROP (the cache sized for them
+        # already covers the final loop) but would produce a zero-growth
+        # cache copy plus a duplicate compiled loop for at most the
+        # single forced-EOS step
         inner = sorted(
-            {int(b) for b in seg_bounds if 0 < int(b) < n_steps - 1}
+            {int(b) for b in seg_bounds if int(b) < n_steps - 1}
         )
         bounds = tuple(inner) + (n_steps,)
 

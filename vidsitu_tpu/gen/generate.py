@@ -51,6 +51,11 @@ def make_srl_generator(
     """
     if max_len <= 0:
         max_len = gen_cfg.max_len_b if gen_cfg.max_len_b > 0 else SRL_DECODE_LEN
+        # fairseq budget: max_len_a * src_len + max_len_b
+        # (seq_gen.py:233-239). The reference's forward_gen always sets
+        # src_tokens to the single forced verb token
+        # (mdl_sf_base.py:658-663), so src_len == 1 for every SRL model.
+        max_len += int(gen_cfg.max_len_a) * 1
     max_len = min(max_len, max_positions - 1)
     k = gen_cfg.beam_size
 

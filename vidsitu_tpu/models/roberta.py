@@ -12,6 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -111,6 +112,12 @@ class RobertaModel(nn.Module):
             + self.token_type_embeddings(jnp.zeros_like(input_ids))
         )
         x = self.emb_ln(x)
+        # HF RobertaEmbeddings applies dropout after the LayerNorm
+        if self.cfg.dropout > 0.0 and not deterministic:
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.cfg.dropout, x.shape
+            )
+            x = x * keep / (1.0 - self.cfg.dropout)
         from .common import make_padding_mask
 
         mask = make_padding_mask(attention_mask)
@@ -123,18 +130,29 @@ class RobertaModel(nn.Module):
 
 
 class RobertaClassificationHead(nn.Module):
-    """dense -> tanh -> out_proj over the <s> token (HF head)."""
+    """dropout -> dense -> tanh -> dropout -> out_proj over the <s>
+    token, matching HF's RobertaClassificationHead (both dropouts)."""
 
     d_model: int
     num_labels: int
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    dropout: float = 0.1
 
     @nn.compact
     def __call__(self, hidden, deterministic: bool = True):
-        x = hidden[:, 0]
+        def drop(x):
+            if self.dropout <= 0.0 or deterministic:
+                return x
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - self.dropout, x.shape
+            )
+            return x * keep / (1.0 - self.dropout)
+
+        x = drop(hidden[:, 0])
         x = nn.Dense(self.d_model, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="dense")(x)
         x = jnp.tanh(x)
+        x = drop(x)
         return nn.Dense(self.num_labels, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="out_proj")(x)

@@ -61,12 +61,7 @@ class VbVideoModel(nn.Module):
         else:
             self.backbone = ResNet3DBackbone(self.vid_cfg, name="backbone")
         if self.num_classes > 0:
-            w = self.vid_cfg.width * 32
-            din = (
-                w + w // self.vid_cfg.beta_inv
-                if self.vid_cfg.arch == "slowfast"
-                else w
-            )
+            din = backbone_out_dim(self.vid_cfg)
             self.proj_head = MLP(
                 [din // 2, self.num_classes],
                 dtype=self.vid_cfg.dtype,

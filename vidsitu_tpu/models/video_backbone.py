@@ -560,8 +560,11 @@ def trimmed_head(feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
     return jnp.concatenate(pooled, axis=-1)
 
 
-def backbone_out_dim(vid_cfg) -> int:
-    w = vid_cfg.resnet.width_per_group
-    if vid_cfg.arch == "slowfast":
-        return w * 32 + w * 32 // vid_cfg.slowfast.beta_inv
-    return w * 32
+def backbone_out_dim(c: "VideoCfg") -> int:
+    """Channel dim of trimmed_head's output for a VideoCfg (2304 for
+    slowfast-R50, 2048 single-pathway — ref get_head_dim sniffing,
+    mdl_sf_base.py:751-760)."""
+    w = c.width * 32
+    if c.arch == "slowfast":
+        return w + w // c.beta_inv
+    return w
