@@ -33,6 +33,34 @@ def test_lstm_bidirectional():
     assert out["outputs"].shape == (1, 4, 16)
 
 
+def test_lstm_bidirectional_pad_invariant():
+    """Packed-sequence equivalence: trailing pads must not change the
+    states at valid positions (the backward scan used to consume pad
+    embeddings before the valid tokens) nor the final summary."""
+    enc = LSTMEncoder(vocab_size=30, embed_dim=8, hidden_dim=8,
+                      bidirectional=True, num_layers=2, pad_id=0)
+    toks5 = jnp.array([[5, 6, 7, 0, 0]], jnp.int32)
+    toks3 = jnp.array([[5, 6, 7]], jnp.int32)
+    variables = enc.init(jax.random.PRNGKey(0), toks5)
+    out5 = enc.apply(variables, toks5)
+    out3 = enc.apply(variables, toks3)
+    np.testing.assert_allclose(
+        np.asarray(out5["outputs"][:, :3]), np.asarray(out3["outputs"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out5["final"]), np.asarray(out3["final"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # the backward half of `final` summarizes the WHOLE sequence (it is
+    # the backward state at position 0), not just the last token
+    np.testing.assert_allclose(
+        np.asarray(out5["final"][:, 8:]),
+        np.asarray(out5["outputs"][:, 0, 8:]),
+        rtol=1e-6,
+    )
+
+
 def test_box_iou():
     a = np.array([[0, 0, 2, 2]], dtype=float)
     b = np.array([[1, 1, 3, 3], [0, 0, 2, 2], [5, 5, 6, 6]], dtype=float)

@@ -2,8 +2,18 @@
 
 Kept for capability parity — the reference ships a fairseq-style packed-
 sequence LSTM encoder that no selected model uses (SURVEY.md §2.1 #18).
-Implemented with an ``nn.scan``-wrapped ``OptimizedLSTMCell`` and length
-masking (the XLA analog of packed sequences).
+Implemented with ``nn.RNN``-wrapped ``OptimizedLSTMCell``s and
+PACKED-SEQUENCE-EQUIVALENT handling of variable lengths:
+
+  * the backward direction reverses each row WITHIN its valid length
+    (pads stay at the tail of the scan order), so backward states at
+    valid positions never consume pad embeddings — the property
+    ``pack_padded_sequence`` gives the reference;
+  * multi-layer bidirectional feeds the CONCAT of both directions of
+    layer l-1 into layer l, like torch ``nn.LSTM(bidirectional=True)``;
+  * ``final`` concatenates the forward state at the last valid step
+    with the backward state at position 0 (each having consumed the
+    whole valid sequence), matching torch's ``h_n`` semantics.
 """
 
 from __future__ import annotations
@@ -33,24 +43,48 @@ class LSTMEncoder(nn.Module):
                      name="embed")(tokens)
         mask = (jnp.arange(t)[None, :] < lengths[:, None]).astype(x.dtype)
 
-        def run_direction(x_dir, name):
-            h = x_dir
-            for li in range(self.num_layers):
-                cell = nn.OptimizedLSTMCell(self.hidden_dim,
-                                            name=f"{name}_l{li}")
-                scan = nn.RNN(cell, name=f"{name}_rnn{li}")
-                h = scan(h)
-            return h
+        # per-row reversal WITHIN the valid length (an involution on the
+        # valid region; pads keep their positions and therefore come
+        # after the valid tokens in the backward scan order)
+        ar = jnp.arange(t)[None, :]
+        rev_idx = jnp.where(
+            ar < lengths[:, None],
+            jnp.clip(lengths[:, None] - 1 - ar, 0, t - 1),
+            ar,
+        )
 
-        out_f = run_direction(x, "fwd")
-        outputs = out_f
-        if self.bidirectional:
-            out_b = run_direction(x[:, ::-1], "bwd")[:, ::-1]
-            outputs = jnp.concatenate([out_f, out_b], axis=-1)
-        outputs = outputs * mask[..., None]
-        # final state: last valid timestep per row
+        def rev(z):
+            return jnp.take_along_axis(z, rev_idx[:, :, None], axis=1)
+
+        h = x
+        for li in range(self.num_layers):
+            f = nn.RNN(
+                nn.OptimizedLSTMCell(self.hidden_dim, name=f"fwd_l{li}"),
+                name=f"fwd_rnn{li}",
+            )(h)
+            if self.bidirectional:
+                bk = nn.RNN(
+                    nn.OptimizedLSTMCell(self.hidden_dim,
+                                         name=f"bwd_l{li}"),
+                    name=f"bwd_rnn{li}",
+                )(rev(h))
+                h = jnp.concatenate([f, rev(bk)], axis=-1)
+            else:
+                h = f
+
+        outputs = h * mask[..., None]
         idx = jnp.clip(lengths - 1, 0, t - 1)
-        final = jnp.take_along_axis(
-            outputs, idx[:, None, None].repeat(outputs.shape[-1], -1), axis=1
+        last_valid = jnp.take_along_axis(
+            outputs, idx[:, None, None], axis=1
         )[:, 0]
+        if self.bidirectional:
+            # forward summary at the last valid step; backward summary at
+            # position 0 (it has consumed the whole valid sequence there)
+            final = jnp.concatenate(
+                [last_valid[:, : self.hidden_dim],
+                 outputs[:, 0, self.hidden_dim:]],
+                axis=-1,
+            )
+        else:
+            final = last_valid
         return {"outputs": outputs, "final": final}

@@ -7,14 +7,17 @@ automatic pipeline's input DMA via the BlockSpec index_map, so each grid
 step streams one dynamically-selected row HBM->VMEM->HBM double-buffered
 at the pallas DMA floor (~413 GB/s on this stack, BENCH.md).
 
-Default routing (gen/beam._pallas_gather_enabled): ON for single-device
-TPU decode — the production bench path, where the multi-leaf kernel
-measures 33.6 vs 39.2 ms/video beam-5 (BENCH.md round 3) — and OFF
-under multi-device meshes, where GSPMD partitioning of the Mosaic
-custom call is unverified on real hardware (the one-hot matmul gather
-partitions as a plain batched dot). ``VIDSITU_PALLAS_BEAM_GATHER=0/1``
-forces either way. Off-TPU the kernel self-selects interpret mode so
-forced-on CPU runs (tests, virtual meshes) execute the same routing.
+Routing (gen/beam._pallas_gather_enabled): **OPT-IN ONLY** — the kernel
+runs solely when ``VIDSITU_PALLAS_BEAM_GATHER=1`` is set, because a
+whole-program XLA buffer-assignment interaction on the 2026-08 axon
+stack corrupts one of six compared in-model compilations despite the
+kernel being bit-exact standalone (full receipts: BENCH.md "pallas beam
+gather layout hazard"; re-run benchmarks/micro14_beam_gather_ab on each
+new stack and reconsider only on PASS). It measures 33.6 vs 39.2
+ms/video beam-5 where it works, and is obsolete on the default path
+anyway — ancestry decode (cfg.tpu.ancestry_beam) removed the per-step
+cache reorder entirely. Off-TPU the kernel self-selects interpret mode
+so forced-on CPU runs (tests, virtual meshes) execute the same routing.
 """
 
 from __future__ import annotations
@@ -33,8 +36,11 @@ def _copy_kernel(idx_ref, x_ref, o_ref):
 def beam_gather_rows(
     x: jnp.ndarray, src_rows: jnp.ndarray, interpret: bool = False
 ) -> jnp.ndarray:
-    """out[r] = x[src_rows[r]]; x (R, F) with F % 128 == 0, any float
-    dtype; src_rows (R,) int32."""
+    """out[r] = x[src_rows[r]]; x (R, F) with F % 128 == 0 AND
+    F >= 1024 (the M = F/128 >= 8 layout-hazard floor enforced by
+    beam_gather_rows_multi — smaller rows get XLA's narrow T(1,128)
+    tiling that Mosaic mis-reads); any float dtype; src_rows (R,)
+    int32."""
     return beam_gather_rows_multi([x], src_rows, interpret=interpret)[0]
 
 

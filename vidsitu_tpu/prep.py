@@ -84,15 +84,32 @@ def count_frames(video_path) -> int:
     return int(json.loads(out.stdout)["streams"][0]["nb_read_packets"])
 
 
+MIN_FRAMES = 290  # reference strict check (dwn_yt.py:169-176)
+
+
 def extract_frames(
     video_path, frames_root, vid_seg: str, fps: int = 30
 ) -> int:
-    """Dump 30fps JPEGs {seg}/{seg}_%06d.jpg (dwn_yt.py:229-280)."""
+    """Dump 30fps JPEGs {seg}/{seg}_%06d.jpg (dwn_yt.py:229-280;
+    -q:v 1 matches the reference's encode quality so prepared frames
+    are pixel-comparable to reference-prepared data).
+
+    An already-complete segment (>= MIN_FRAMES JPEGs, the reference's
+    strict check) is skipped; a SHORT leftover from an interrupted run
+    is wiped and re-extracted — counting any nonzero number of frames
+    as success would leave the segment permanently short (the loader
+    requests frames 1..300)."""
     _require("ffmpeg")
     seg_dir = Path(frames_root) / vid_seg
+    existing = len(list(seg_dir.glob("*.jpg"))) if seg_dir.is_dir() else 0
+    if existing >= MIN_FRAMES:
+        return existing
+    if existing:
+        for f in seg_dir.glob("*.jpg"):
+            f.unlink()
     seg_dir.mkdir(parents=True, exist_ok=True)
     subprocess.run(
-        ["ffmpeg", "-y", "-i", str(video_path), "-r", str(fps), "-q:v", "2",
+        ["ffmpeg", "-y", "-i", str(video_path), "-r", str(fps), "-q:v", "1",
          str(seg_dir / f"{vid_seg}_%06d.jpg")],
         capture_output=True, timeout=300, check=True,
     )
@@ -176,8 +193,13 @@ def main(argv=None):
             )
 
         res = run_pool(one, segs, max_workers=args.max_workers)
-        ok = sum(1 for v in res.values() if isinstance(v, int) and v > 0)
-        print(f"extracted {ok}/{len(segs)}")
+        ok = sum(1 for v in res.values()
+                 if isinstance(v, int) and v >= MIN_FRAMES)
+        short = [s for s, v in res.items()
+                 if isinstance(v, int) and 0 < v < MIN_FRAMES]
+        print(f"extracted {ok}/{len(segs)}"
+              + (f" ({len(short)} SHORT, e.g. {short[:3]} — rerun to "
+                 f"retry)" if short else ""))
 
 
 if __name__ == "__main__":
