@@ -173,12 +173,16 @@ def bench_srl_decode(bs: int = 16, iters: int = 5, beam: int = 1,
     dev_batch = {k: jnp.asarray(v) for k, v in batch.items()}
     # The tunneled runtime's block_until_ready does not reliably wait;
     # force a host fetch per call and subtract the measured fetch RTT.
-    trivial = jax.jit(lambda: jnp.zeros((1,), jnp.int32))()
+    # NB: call the jitted fn per iteration — fetching the SAME jax array
+    # twice is free (np.asarray caches the host copy after the first
+    # fetch), which would measure rtt ~= 0 and leave the round-trip in
+    # the reported latency.
+    trivial = jax.jit(lambda: jnp.zeros((1,), jnp.int32))
     np.asarray(gen_fn(variables, dev_batch))  # compile
-    np.asarray(trivial)
+    np.asarray(trivial())
     t0 = time.perf_counter()
     for _ in range(iters):
-        np.asarray(trivial)
+        np.asarray(trivial())
     rtt = (time.perf_counter() - t0) / iters
     t0 = time.perf_counter()
     for _ in range(iters):

@@ -209,3 +209,63 @@ def test_prep_cli_builds_cache(env, tmp_path):
     assert built == [f"{s}_32.npy" for s in segs[:2]]
     arr = np.load(cache_dir / built[0], mmap_mode="r")
     assert arr.shape == (300, 32, 32, 3) and arr.dtype == np.uint8
+
+
+def test_short_segment_edge_clamped(env, tmp_path):
+    """A legal 290-299-frame segment (prep and the reference's strict
+    check both accept >= 290, dwn_yt.py:169-176) must load without a
+    FileNotFoundError: the JPEG path edge-clamps to the frames on disk
+    and the cache pads by repeating the last frame, bit-identically."""
+    from pathlib import Path
+
+    from vidsitu_tpu.data.frames import load_event_clips, write_segment_cache
+
+    paths, root = env
+    frames_dir = paths["ds.vsitu.video_frms_tdir"]
+    seg = sorted(p.name for p in Path(frames_dir).iterdir())[1]
+    short_root = tmp_path / "short_frames"
+    shutil.copytree(Path(frames_dir) / seg, short_root / seg)
+    for ix in range(294, 301):  # 293 frames on disk
+        (short_root / seg / f"{seg}_{ix:06d}.jpg").unlink()
+
+    class _V:
+        reverse_input_channel = False
+        arch = "slowfast"
+
+        class slowfast:
+            alpha = 4
+
+        mean = [0.45, 0.45, 0.45]
+        std = [0.225, 0.225, 0.225]
+
+    # Ev5's window (center 270, half 32) requests frames up to 300
+    cent = {f"Ev{e}": 30 + 60 * (e - 1) for e in range(1, 6)}
+    jpg = load_event_clips(
+        short_root, seg, cent, frm_seq_len=64, sampling_rate=2, vid_cfg=_V,
+        max_frms=300, out_hw=32,
+    )
+    # frames past 293 duplicate the edge frame
+    fast = jpg["frms_ev_fast_tensor"]
+    np.testing.assert_array_equal(fast[4, -1], fast[4, -4])
+
+    cache_dir = tmp_path / "short_seg_cache"
+    p = write_segment_cache(short_root, seg, cache_dir, out_hw=32)
+    track = np.load(p, mmap_mode="r")
+    assert track.shape[0] == 300  # padded to the full geometry
+    np.testing.assert_array_equal(track[293], track[299])
+    cached = load_event_clips(
+        short_root, seg, cent, frm_seq_len=64, sampling_rate=2, vid_cfg=_V,
+        max_frms=300, out_hw=32, cache_dir=str(cache_dir), cache_write=False,
+    )
+    np.testing.assert_array_equal(
+        cached["frms_ev_fast_tensor"], jpg["frms_ev_fast_tensor"]
+    )
+
+
+def test_empty_segment_raises(tmp_path):
+    from vidsitu_tpu.data.frames import write_segment_cache
+
+    (tmp_path / "frames" / "v_e_seg_0_10").mkdir(parents=True)
+    with pytest.raises(FileNotFoundError):
+        write_segment_cache(tmp_path / "frames", "v_e_seg_0_10",
+                            tmp_path / "c", out_hw=32)

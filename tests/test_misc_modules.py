@@ -195,3 +195,102 @@ def test_packed_stem_conv_gradients_match():
         v["params"]["kernel"]
     )
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), rtol=1e-4, atol=1e-4)
+
+
+def test_lstm_left_pad_equivalence():
+    """Fairseq-convention LEFT-padded tokens (reference default,
+    lang_utils.py:22) produce the same encoding as right-padded ones —
+    the leading-pad shift mirrors utils.convert_padding_direction."""
+    enc = LSTMEncoder(vocab_size=30, embed_dim=8, hidden_dim=8,
+                      bidirectional=True, num_layers=2, pad_id=0)
+    right = jnp.array([[5, 6, 7, 0, 0], [8, 9, 0, 0, 0]], jnp.int32)
+    left = jnp.array([[0, 0, 5, 6, 7], [0, 0, 0, 8, 9]], jnp.int32)
+    variables = enc.init(jax.random.PRNGKey(0), right)
+    out_r = enc.apply(variables, right)
+    out_l = enc.apply(variables, left)
+    np.testing.assert_allclose(
+        np.asarray(out_l["outputs"]), np.asarray(out_r["outputs"]),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_l["final"]), np.asarray(out_r["final"]),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_lstm_dropout_training_mode():
+    """dropout_in/dropout_out (reference defaults 0.1,
+    lang_utils.py:19-20) are active only with deterministic=False."""
+    enc = LSTMEncoder(vocab_size=30, embed_dim=8, hidden_dim=8,
+                      num_layers=2, pad_id=0)
+    toks = jnp.array([[5, 6, 7, 8, 9]], jnp.int32)
+    variables = enc.init(jax.random.PRNGKey(0), toks)
+    out_eval = enc.apply(variables, toks)
+    out_eval2 = enc.apply(variables, toks, deterministic=True)
+    np.testing.assert_array_equal(
+        np.asarray(out_eval["outputs"]), np.asarray(out_eval2["outputs"])
+    )
+    out_tr = enc.apply(variables, toks, deterministic=False,
+                       rngs={"dropout": jax.random.PRNGKey(7)})
+    assert not np.allclose(
+        np.asarray(out_tr["outputs"]), np.asarray(out_eval["outputs"])
+    )
+
+
+def test_build_comm_unknown_task_raises(tmp_path):
+    """An unknown task_type fails at setup (reference raises
+    NotImplementedError in dat_loader), not at the first dct_id read."""
+    from vidsitu_tpu.data import build_comm
+    from vidsitu_tpu.data.synth import make_synth_dataset
+    from vidsitu_tpu.utils.config import get_cfg_with_overrides
+
+    paths = make_synth_dataset(tmp_path / "d", n_train=2, n_valid=2, seed=3)
+    cfg = get_cfg_with_overrides("commtest", **{**paths, "task_type": "vb"})
+    cfg.task_type = "vbarg"  # typo'd value
+    with pytest.raises(NotImplementedError, match="vbarg"):
+        build_comm(cfg)
+
+
+def test_prep_dwn_vids_webm_fallback(tmp_path, monkeypatch, capsys):
+    """Failed downloads get a second pass with format=webm, like the
+    reference (dwn_yt.py:197-202)."""
+    import json
+    from pathlib import Path
+
+    import vidsitu_tpu.prep as prep
+
+    calls = []
+
+    def fake_download(seg, out_dir, fmt="22/best"):
+        calls.append((seg, fmt))
+        if seg == "v_bad_seg_0_10" and fmt != "webm":
+            return None
+        return Path(f"/fake/{seg}.mp4")
+
+    monkeypatch.setattr(prep, "download_clip", fake_download)
+    split = tmp_path / "segs.json"
+    split.write_text(json.dumps(["v_ok_seg_0_10", "v_bad_seg_0_10"]))
+    prep.main([
+        "--task_type=dwn_vids", f"--split_file={split}",
+        f"--video_dir={tmp_path}", "--max_workers=1",
+    ])
+    assert ("v_bad_seg_0_10", "webm") in calls
+    assert ("v_ok_seg_0_10", "webm") not in calls
+    assert "downloaded 2/2" in capsys.readouterr().out
+
+
+def test_default_feats_dir_per_model(tmp_path):
+    """Features default under vsitu_frm_feats/{mdl_name} (reference
+    feat_extractor.py:86), so two backbones never clobber each other."""
+    from vidsitu_tpu.data.synth import make_synth_dataset
+    from vidsitu_tpu.extract import default_feats_dir
+    from vidsitu_tpu.utils.config import get_cfg_with_overrides
+
+    paths = make_synth_dataset(tmp_path / "d", n_train=2, n_valid=2, seed=4)
+    cfg = get_cfg_with_overrides(
+        "featdir", **{**paths, "task_type": "vb",
+                      "ds.vsitu.vsitu_frm_feats": str(tmp_path / "feats")}
+    )
+    d = default_feats_dir(cfg)
+    assert d == tmp_path / "feats" / cfg.mdl.sf_mdl_name
+    assert default_feats_dir(cfg, "other") == tmp_path / "feats" / "other"

@@ -155,6 +155,15 @@ def test_extract_features_roundtrip(env, tmp_path):
     assert arr.shape == (5, 2304)
     assert np.isfinite(arr).all()
 
+    # the on-disk contract is float32 even under a bfloat16 model body
+    # (a bf16 npy would be raw-void '|V2', unreadable downstream)
+    cfg_bf = mk(env, **{"train.dtype": "bfloat16"})
+    out_bf = tmp_path / "bf16_feats"
+    extract_features(cfg_bf, build_comm(cfg_bf), splits=["valid"],
+                     out_dir=out_bf, batch_size=4)
+    arr_bf = np.load(sorted(out_bf.glob("*_feats.npy"))[0])
+    assert arr_bf.dtype == np.float32 and np.isfinite(arr_bf).all()
+
     # features dir name carries the dim hint for get_head_dim
     from vidsitu_tpu.models.srl_models import get_head_dim
 

@@ -86,4 +86,8 @@ def build_comm(cfg: CfgNode) -> CfgNode:
         comm.dct_id = "gpt2_hf_tok"
     elif cfg.task_type == "evrel":
         comm.dct_id = "rob_hf_tok"
+    else:
+        # fail at setup like the reference (dat_loader.py raises
+        # NotImplementedError), not later at the first comm.dct_id read
+        raise NotImplementedError(f"task_type {cfg.task_type!r}")
     return comm

@@ -56,6 +56,36 @@ def read_img_batch(
     return np.stack([read_img(p, out_hw=out_hw) for p in paths])
 
 
+def _n_avail_frames(frm_dir, vid_seg_name: str, max_frms: int) -> int:
+    """Frames present on disk for a segment, capped at ``max_frms``.
+
+    Prep (and the reference's strict check, dwn_yt.py:169-176) accept a
+    segment with >= 290 frames, while the sampling geometry indexes up
+    to frame 300 — a 290-299-frame segment is therefore legal input and
+    must not crash the loader. Fast path: one exists() on the last
+    frame; only a short segment pays the directory scan. ffmpeg dumps
+    frames contiguously from 1, so the file count IS the top index."""
+    d = Path(frm_dir) / vid_seg_name
+    if (d / f"{vid_seg_name}_{max_frms:06d}.jpg").exists():
+        return max_frms
+    return min(len(list(d.glob(f"{vid_seg_name}_*.jpg"))), max_frms)
+
+
+def _frame_paths(frm_dir, vid_seg_name: str, idxs, max_frms: int):
+    """0-based frame indices -> JPEG paths, edge-clamped to the frames
+    actually on disk (same clamp-to-edge semantics get_sequence already
+    applies at the [0, max) boundary)."""
+    def mk(ix: int) -> str:
+        return f"{frm_dir}/{vid_seg_name}/{vid_seg_name}_{ix + 1:06d}.jpg"
+
+    if os.path.exists(mk(max(idxs))):
+        return [mk(ix) for ix in idxs]
+    n = _n_avail_frames(frm_dir, vid_seg_name, max_frms)
+    if n == 0:
+        raise FileNotFoundError(mk(0))
+    return [mk(min(ix, n - 1)) for ix in idxs]
+
+
 def segment_cache_path(
     cache_dir, vid_seg_name: str, out_hw: int, fast: bool = False
 ) -> Path:
@@ -91,15 +121,27 @@ def write_segment_cache(
     path = segment_cache_path(cache_dir, vid_seg_name, out_hw, fast=fast)
     if path.exists() and not force:
         return path
+    n = _n_avail_frames(frm_dir, vid_seg_name, max_frms)
+    if n == 0:
+        raise FileNotFoundError(
+            f"{frm_dir}/{vid_seg_name}: no frames on disk"
+        )
     arr = read_img_batch(
         [
             f"{frm_dir}/{vid_seg_name}/{vid_seg_name}_{ix:06d}.jpg"
-            for ix in range(1, max_frms + 1)
+            for ix in range(1, n + 1)
         ],
         out_hw=out_hw,
         threads=threads,
         fast=fast,
     )
+    if n < max_frms:
+        # legal short segment (>= MIN_FRAMES JPEGs): pad by repeating
+        # the last frame so the cached track always has max_frms rows —
+        # exactly what the edge-clamped JPEG path reads (_frame_paths)
+        arr = np.concatenate(
+            [arr, np.repeat(arr[-1:], max_frms - n, axis=0)], axis=0
+        )
     path.parent.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(f".tmp{os.getpid()}.npy")
     np.save(tmp, arr)
@@ -200,11 +242,7 @@ def load_event_clips(
             frms = np.asarray(track[idxs])
         else:
             frms = read_img_batch(
-                [
-                    f"{frm_dir}/{vid_seg_name}/"
-                    f"{vid_seg_name}_{ix + 1:06d}.jpg"
-                    for ix in idxs
-                ],
+                _frame_paths(frm_dir, vid_seg_name, idxs, max_frms),
                 out_hw=out_hw,
             )
         if not keep_uint8:

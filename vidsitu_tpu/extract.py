@@ -20,6 +20,16 @@ from .models.selector import init_model_variables
 from .models.vb_models import build_feat_extractor
 
 
+def default_feats_dir(cfg, mdl_name: Optional[str] = None) -> Path:
+    """Per-model feature directory, like the reference's
+    ``vsitu_frm_feats/{mdl_name}`` (feat_extractor.py:86): SRL training
+    reads a named subdir (ds.vsitu.vsit_frm_feats_dir) and two backbones
+    must never clobber each other's features."""
+    return Path(cfg.ds.vsitu.vsitu_frm_feats) / (
+        mdl_name or cfg.mdl.sf_mdl_name
+    )
+
+
 class FramesOnlyDS:
     """All-splits frames dataset (VsituDS_All, feat_extractor.py:20-74)."""
 
@@ -46,6 +56,7 @@ def extract_features(
     out_dir: Optional[str] = None,
     batch_size: int = 4,
     num_threads: int = 0,
+    mdl_name: Optional[str] = None,
 ) -> Dict[str, int]:
     """Extract features for the given splits. Returns counts per split.
 
@@ -58,7 +69,7 @@ def extract_features(
     import os
 
     splits = splits or ["valid", "train"]
-    out_dir = Path(out_dir or cfg.ds.vsitu.vsitu_frm_feats)
+    out_dir = Path(out_dir) if out_dir else default_feats_dir(cfg, mdl_name)
     out_dir.mkdir(parents=True, exist_ok=True)
 
     model = build_feat_extractor(cfg)
@@ -80,7 +91,11 @@ def extract_features(
         def flush(item):
             nonlocal n
             feats, idxs = item
-            feats = np.asarray(feats)  # sync point
+            # sync point; cast: a bfloat16 model body would otherwise
+            # serialize raw-void ('|V2') npys that downstream np.load
+            # can't interpret — the feature-file contract is float32
+            # (reference feat_extractor.py saves f32)
+            feats = np.asarray(feats).astype(np.float32, copy=False)
             for bix in range(feats.shape[0]):
                 seg = ds.vseg_lst[int(idxs[bix])]
                 # tmp + atomic rename: a crash (or, across hosts, the
@@ -120,6 +135,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="extract video features")
     ap.add_argument("--split", action="append", default=None)
     ap.add_argument("--out_dir", default=None)
+    ap.add_argument(
+        "--mdl_name_used", default=None,
+        help="subdirectory under ds.vsitu.vsitu_frm_feats (reference "
+             "feat_extractor.py main arg; default: cfg.mdl.sf_mdl_name)",
+    )
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument("--num_threads", type=int, default=8,
                     help="JPEG-decode thread pool size")
@@ -163,7 +183,7 @@ def main(argv=None):
         cfg, comm, variables=variables,
         splits=args.split or ["valid", "train"],
         out_dir=args.out_dir, batch_size=args.batch_size,
-        num_threads=args.num_threads,
+        num_threads=args.num_threads, mdl_name=args.mdl_name_used,
     )
     print(counts)
 

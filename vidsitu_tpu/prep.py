@@ -40,13 +40,26 @@ def parse_seg_name(vid_seg: str) -> Tuple[str, float, float]:
     return ytid, float(st), float(en)
 
 
+MIN_SRC_FPS = 20  # truncation guard: any real YT video is >= 24 fps
+
+
 def download_clip(
     vid_seg: str,
     out_dir,
     retries: int = 3,
     min_bytes: int = 20_000,
+    fmt: str = "22/best",
 ) -> Optional[Path]:
-    """Download + trim one 10s segment (dwn_yt.py:150-211)."""
+    """Download + trim one 10s segment (dwn_yt.py:150-211).
+
+    ``fmt`` defaults to the reference's yt-dlp format ``22/best``
+    (1280x720 mp4, dwn_yt.py:154) so prepared frames are
+    pixel-comparable to reference-prepared data; the reference retries
+    failures with ``webm`` (dwn_yt.py:197-202) — `main` does the same.
+    A download that trims to fewer frames than the segment duration can
+    hold at MIN_SRC_FPS is treated as truncated and retried (the
+    reference's strict frame-count check, dwn_yt.py:169-176, applied at
+    download time; skipped when ffprobe is unavailable)."""
     _require("yt-dlp")
     _require("ffmpeg")
     out_dir = Path(out_dir)
@@ -56,7 +69,7 @@ def download_clip(
     for attempt in range(retries):
         try:
             url = subprocess.run(
-                ["yt-dlp", "-g", "-f", "best[height<=360]",
+                ["yt-dlp", "-g", "-f", fmt,
                  f"https://www.youtube.com/watch?v={ytid}"],
                 capture_output=True, text=True, timeout=120, check=True,
             ).stdout.strip().splitlines()[0]
@@ -67,6 +80,11 @@ def download_clip(
                 capture_output=True, timeout=300, check=True,
             )
             if out_path.exists() and out_path.stat().st_size >= min_bytes:
+                if shutil.which("ffprobe") is not None and (
+                    count_frames(out_path) < (en - st) * MIN_SRC_FPS
+                ):
+                    out_path.unlink()  # truncated stream — retry
+                    raise subprocess.SubprocessError("short download")
                 return out_path
         except (subprocess.SubprocessError, IndexError):
             time.sleep(2.0 * (attempt + 1))
@@ -97,8 +115,10 @@ def extract_frames(
     An already-complete segment (>= MIN_FRAMES JPEGs, the reference's
     strict check) is skipped; a SHORT leftover from an interrupted run
     is wiped and re-extracted — counting any nonzero number of frames
-    as success would leave the segment permanently short (the loader
-    requests frames 1..300)."""
+    as success would leave the segment short forever. A segment that
+    genuinely yields 290-299 frames passes (as in the reference); the
+    loader edge-clamps its window to the frames on disk
+    (data/frames._frame_paths)."""
     _require("ffmpeg")
     seg_dir = Path(frames_root) / vid_seg
     existing = len(list(seg_dir.glob("*.jpg"))) if seg_dir.is_dir() else 0
@@ -184,6 +204,14 @@ def main(argv=None):
             lambda s: download_clip(s, args.video_dir), segs,
             max_workers=args.max_workers,
         )
+        # second pass over failures with format=webm, like the
+        # reference (dwn_yt.py:197-202)
+        failed = [s for s, v in res.items() if not isinstance(v, Path)]
+        if failed:
+            res.update(run_pool(
+                lambda s: download_clip(s, args.video_dir, fmt="webm"),
+                failed, max_workers=args.max_workers,
+            ))
         ok = sum(1 for v in res.values() if isinstance(v, Path))
         print(f"downloaded {ok}/{len(segs)}")
     else:
