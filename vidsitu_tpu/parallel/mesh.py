@@ -10,7 +10,8 @@ ICI intra-slice / DCN across hosts.
 
 from __future__ import annotations
 
-from typing import Any, Dict
+import re
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
@@ -62,25 +63,94 @@ def replicate_tree(tree: Any, mesh: Mesh) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
 
 
-def param_shardings(mesh: Mesh, tree: Any, axis: str = "fsdp") -> Any:
-    """Per-leaf parameter shardings for ZeRO-3-style FSDP.
+_QKV_RE = re.compile(r"(q|k|v)_proj")
 
-    With an ``fsdp`` axis in the mesh (cfg.tpu.mesh_shape [-1, N] +
-    mesh_axis_names ['data','fsdp']), each parameter (and its optimizer
-    moments, which share shapes) is sharded along its largest
-    axis-divisible dimension; XLA inserts the all-gathers before use and
-    reduce-scatters on the gradients. Leaves with no divisible dimension
-    and scalars stay replicated. Without the axis this is all-replicated
-    (plain DP).
+
+def tp_spec(path: str, shape, n: int, axis: str = "model") -> Optional[P]:
+    """Megatron-style tensor-parallel PartitionSpec for one transformer
+    parameter, or None if the leaf is not TP-shardable.
+
+    The flax transformer family (models/transformer.py — decoder,
+    encoder, rel_transformer share its layer modules) exposes the
+    canonical Megatron split points by name:
+
+      * ``{q,k,v}_proj/kernel (d, H, dh)`` — column-parallel: shard the
+        HEAD axis; each shard computes its heads' attention outputs
+        independently;
+      * ``out_proj/kernel (H, dh, d)`` — row-parallel: shard the head
+        axis of the input; XLA inserts the forward all-reduce over
+        ``model`` (its bias stays replicated, added after the reduce);
+      * ``ffn/fc1/kernel (d, ffn)`` column-parallel, ``ffn/fc2/kernel
+        (ffn, d)`` row-parallel — the hidden dim never materializes
+        unsharded.
+
+    Everything else (LayerNorms, embeddings, non-transformer modules)
+    returns None and falls through to the fsdp/replicated rule. GSPMD
+    guarantees any sharding is numerically equivalent, so a miss is a
+    performance choice, never a correctness one.
     """
-    if axis not in mesh.axis_names or int(mesh.shape[axis]) <= 1:
-        repl = replicated(mesh)
-        return jax.tree.map(lambda _: repl, tree)
-    n = int(mesh.shape[axis])
-    repl = replicated(mesh)
+    if path.endswith("kernel"):
+        if _QKV_RE.search(path) and len(shape) == 3 and shape[1] % n == 0:
+            return P(None, axis, None)
+        if "out_proj" in path and len(shape) == 3 and shape[0] % n == 0:
+            return P(axis, None, None)
+        if "fc1" in path and len(shape) == 2 and shape[1] % n == 0:
+            return P(None, axis)
+        if "fc2" in path and len(shape) == 2 and shape[0] % n == 0:
+            return P(axis, None)
+    elif path.endswith("bias"):
+        if _QKV_RE.search(path) and len(shape) == 2 and shape[0] % n == 0:
+            return P(axis, None)
+        if "fc1" in path and len(shape) == 1 and shape[0] % n == 0:
+            return P(axis)
+        # out_proj / fc2 biases: replicated (added after the all-reduce)
+    return None
 
-    def rule(x):
+
+def _leaf_path_str(path) -> str:
+    """KeyPath -> 'a/b/c' (works for dict keys, attrs, sequence ixs —
+    optimizer-state trees prefix the param tree with .mu/.nu etc., so
+    rules match on SUFFIX substrings)."""
+    parts = []
+    for k in path:
+        parts.append(str(getattr(k, "key", getattr(k, "name",
+                                                   getattr(k, "idx", k)))))
+    return "/".join(parts)
+
+
+def param_shardings(
+    mesh: Mesh, tree: Any, axis: str = "fsdp", tp_axis: str = "model"
+) -> Any:
+    """Per-leaf parameter shardings: tensor parallelism + ZeRO-3 FSDP.
+
+    With a ``model`` axis in the mesh (cfg.tpu.mesh_shape [-1, N] +
+    mesh_axis_names ['data','model']), transformer parameters matching
+    the Megatron split points (see ``tp_spec``) are tensor-parallel;
+    with an ``fsdp`` axis, every remaining parameter (and its optimizer
+    moments, which share shapes and path suffixes) is sharded along its
+    largest axis-divisible dimension — XLA inserts the all-gathers
+    before use and reduce-scatters on the gradients. Both axes may
+    coexist (['data','model','fsdp']): TP leaves stay 1-D-sharded on
+    ``model``, the rest shard on ``fsdp``. Leaves with no divisible
+    dimension and scalars stay replicated. With neither axis this is
+    all-replicated (plain DP).
+    """
+    repl = replicated(mesh)
+    has_tp = tp_axis in mesh.axis_names and int(mesh.shape[tp_axis]) > 1
+    has_fsdp = axis in mesh.axis_names and int(mesh.shape[axis]) > 1
+    if not has_tp and not has_fsdp:
+        return jax.tree.map(lambda _: repl, tree)
+    n_tp = int(mesh.shape[tp_axis]) if has_tp else 0
+    n = int(mesh.shape[axis]) if has_fsdp else 0
+
+    def rule(path, x):
         shape = getattr(x, "shape", ())
+        if has_tp:
+            spec = tp_spec(_leaf_path_str(path), shape, n_tp, tp_axis)
+            if spec is not None:
+                return NamedSharding(mesh, spec)
+        if not has_fsdp:
+            return repl
         best_s, best_d = 0, -1
         for d, s in enumerate(shape):
             if s % n == 0 and s > best_s:
@@ -91,7 +161,7 @@ def param_shardings(mesh: Mesh, tree: Any, axis: str = "fsdp") -> Any:
         spec[best_d] = axis
         return NamedSharding(mesh, P(*spec))
 
-    return jax.tree.map(rule, tree)
+    return jax.tree_util.tree_map_with_path(rule, tree)
 
 
 def globalize_replicated(tree: Any, mesh: Mesh) -> Any:
@@ -118,20 +188,27 @@ def globalize_replicated(tree: Any, mesh: Mesh) -> Any:
 
 
 def maybe_shard_jit(fn, mesh: Mesh = None):
-    """jit a (replicated_tree, batch) -> out fn; with a populated mesh the
-    batch is sharded on the data axis (params replicated), otherwise a
-    plain jit. The single home of the eval-path sharding policy.
+    """jit a (params_tree, batch) -> out fn; with a populated mesh the
+    batch is sharded on the data axis, otherwise a plain jit. The single
+    home of the eval-path sharding policy.
 
-    Multi-process: outputs are additionally replicated so every host can
-    read them with np.asarray (a sharded global array is not fully
-    addressable from one host)."""
+    Params keep the caller's shardings (None = inherit): after training
+    on an fsdp/tensor-parallel mesh the variables arrive sharded, and
+    pinning replicated in_shardings would make jit reject them — eval
+    simply computes with whatever layout training left (GSPMD guarantees
+    equivalence). Multi-process: params must be pre-globalized replicated
+    (globalize_replicated), so they are pinned, and outputs are
+    replicated so every host can read them with np.asarray (a sharded
+    global array is not fully addressable from one host)."""
     if mesh is None or int(mesh.devices.size) <= 1:
         return jax.jit(fn)
     kwargs = {}
+    p_in = None  # inherit the caller's param shardings
     if jax.process_count() > 1:
         kwargs["out_shardings"] = replicated(mesh)
+        p_in = replicated(mesh)
     return jax.jit(
-        fn, in_shardings=(replicated(mesh), data_sharded(mesh)), **kwargs
+        fn, in_shardings=(p_in, data_sharded(mesh)), **kwargs
     )
 
 
