@@ -211,3 +211,57 @@ def test_tp_mesh_forward_allreduce_schedule(env):
                 assert int(np.prod(dims)) < 2048, (
                     f"TP weight gathered at full size: {line[:120]}"
                 )
+
+
+def test_tp_evrel_equals_single_device(env):
+    """The evrel RoBERTa reuses transformer.EncoderLayer, so the
+    Megatron split points apply to it unchanged — TP training of the
+    evrel task must match single-device."""
+    from vidsitu_tpu.evaluation.evaluators import EvalB_Acc
+    from vidsitu_tpu.parallel.mesh import make_mesh
+
+    paths, root = env
+    rob = {
+        "rob_mdl.d_model": 64,
+        "rob_mdl.n_layers": 2,
+        "rob_mdl.n_heads": 4,
+        "rob_mdl.ffn_dim": 128,
+        "rob_mdl.max_pos": 130,
+    }
+    upd = {}
+    for name, (shape, axes, ndev) in (
+        ("tp", ([2, 4], ["data", "model"], 8)),
+        ("single", ([-1], ["data"], 1)),
+    ):
+        cfg = get_cfg_with_overrides(
+            f"tp_ev_{name}",
+            **{
+                **paths, **rob,
+                "task_type": "evrel",
+                "mdl.mdl_name": "sfpret_evrel",
+                "train.bs": 8, "train.bsv": 4,
+                "train.nw": 0, "train.nwv": 0,
+                "train.dtype": "float32",
+                "misc.tmp_path": str(root / "tmp"),
+                "tpu.mesh_shape": shape,
+                "tpu.mesh_axis_names": axes,
+            },
+        )
+        comm = build_comm(cfg)
+        data = get_data(cfg)
+        model = build_model(cfg, comm)
+        batch = next(iter(data.train_dl))
+        variables = init_model_variables(model, batch, seed=7)
+        mesh = (
+            make_mesh(cfg)
+            if ndev > 1
+            else Mesh(np.asarray(jax.devices()[:1]), ("data",))
+        )
+        learner = Learner(
+            uid=cfg.uid, cfg=cfg, model=model, variables=variables,
+            data=data, eval_fn=EvalB_Acc(cfg, comm, model), mesh=mesh,
+        )
+        learner.overfit_batch(epochs=2, lr=1e-3)
+        upd[name] = jax.tree.leaves(learner.variables["params"])
+    for a, b in zip(upd["tp"], upd["single"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
