@@ -37,7 +37,13 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def data_sharded(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P("data"))
+    """Batch sharding: the leading axis splits over BOTH the 'data' and
+    'fsdp' mesh axes ('model' stays replicated — TP shards weights, not
+    examples). fsdp is a subdivision of data parallelism (ZeRO), so the
+    effective DP degree is data*fsdp; sharding the batch over 'data'
+    alone would make every fsdp peer recompute the same examples."""
+    axes = tuple(a for a in mesh.axis_names if a in ("data", "fsdp"))
+    return NamedSharding(mesh, P(axes))
 
 
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:

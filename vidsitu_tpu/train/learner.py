@@ -98,13 +98,18 @@ class Learner:
         from .pretrained import make_freeze_mask
 
         self._grad_mask = make_freeze_mask(cfg, self.variables["params"])
-        # each process's loader shard must split over its LOCAL devices
-        # (the global batch = per-process batch x process_count splits over
-        # the global mesh)
-        local_dev = int(self.mesh.devices.size) // jax.process_count()
-        assert data.train_dl.batch_size % max(local_dev, 1) == 0, (
+        # each process's loader shard must split over its LOCAL share of
+        # the DP extent (batch shards over the data AND fsdp axes —
+        # parallel/mesh.data_sharded; a 'model' axis replicates the batch)
+        dp_extent = int(np.prod([
+            int(self.mesh.shape[a]) for a in ("data", "fsdp")
+            if a in self.mesh.axis_names
+        ]))
+        local_dp = dp_extent // jax.process_count()
+        assert data.train_dl.batch_size % max(local_dp, 1) == 0, (
             f"per-process batch {data.train_dl.batch_size} must be divisible "
-            f"by the {local_dev} local devices of the data mesh"
+            f"by this process's {local_dp}-way share of the mesh's "
+            f"{dp_extent}-way data parallelism"
         )
         self.init_log_dirs()
         self.prepare_log_file()
