@@ -424,5 +424,18 @@ if __name__ == "__main__":
         if "bs" in kw:
             kw["clips"] = kw.pop("bs")
         print(json.dumps(bench_slowfast_featext(**kw)))
+    elif which == "gates":
+        # per-round stack gates (BENCH.md): DMA-floor flip decision for
+        # the fused bottleneck, beam-gather corruption A/B, optional
+        # batch-optimum re-check (`python bench.py gates --batch`)
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__),
+                                        "benchmarks"))
+        import gates as _gates
+
+        print(json.dumps({"metric": "stack_gates",
+                          "value": 0, "unit": "decisions",
+                          "vs_baseline": 0.0,
+                          **_gates.main(batch="--batch" in sys.argv)},
+                         default=str))
     else:
         raise SystemExit(f"unknown bench mode {which!r}")

@@ -1,0 +1,158 @@
+"""Per-round stack gates (VERDICT r3 #6): one command that re-measures the
+stack-dependent go/no-go decisions that were previously manual lore in
+BENCH.md, and prints explicit flip/no-flip lines.
+
+Gates:
+  1. pallas pipeline DMA floor vs XLA elementwise bandwidth (micro3
+     essence). The fused bottleneck kernel (ops/fused_bottleneck.py)
+     moves ~2.5x fewer HBM bytes than XLA's unfused chain but runs on
+     the pallas DMA pipeline; it flips profitable when the floor
+     crosses ~550 GB/s (~80% of XLA's). Decision output:
+     FLIP -> re-measure cfg.tpu.fuse_inference=on in-model.
+  2. pallas row-DMA beam gather correctness (micro14 full A/B). The
+     kernel corrupted decode tokens under specific whole-program XLA
+     buffer assignments on the round-3 axon stacks (BENCH.md "layout
+     hazard"). Decision output: PASS -> the opt-in
+     VIDSITU_PALLAS_BEAM_GATHER may be reconsidered; FAIL -> keep OFF.
+  3. (optional, --batch) featext batch optimum re-check around b=24.
+
+Usage: python bench.py gates [--batch]   (real TPU)
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+
+def _timeit(fn, *args, iters=10):
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=len(args))
+    def run(*a):
+        n = a[-1]
+        xs = a[:-1]
+
+        def body(_, carry):
+            out = fn(xs[0] + carry, *xs[1:])
+            out = jax.lax.optimization_barrier(out)
+            return (out.mean() * 1e-9).astype(jnp.bfloat16)
+
+        return jax.lax.fori_loop(0, n, body, jnp.bfloat16(0))
+
+    float(run(*args, iters))
+    trivial = jax.jit(lambda: jnp.zeros((), jnp.bfloat16))
+    float(trivial())
+    t0 = time.perf_counter()
+    float(trivial())
+    rtt = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(*args, iters))
+    return ((time.perf_counter() - t0) - rtt) / iters * 1000
+
+
+def gate_dma_floor(flip_gbps: float = 550.0) -> dict:
+    """Pallas pipelined-copy bandwidth vs XLA elementwise bandwidth."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (6144, 65536), jnp.bfloat16)  # 768 MB
+    gb = x.size * 2 / 1e9
+
+    def copy_kernel(i_ref, o_ref):
+        o_ref[:] = i_ref[:]
+
+    def pallas_copy(x):
+        return pl.pallas_call(
+            copy_kernel,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            grid=(x.shape[0] // 512, x.shape[1] // 2048),
+            in_specs=[pl.BlockSpec((512, 2048), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((512, 2048), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        )(x)
+
+    # copy reads+writes: traffic = 2*gb per call
+    ms_pallas = _timeit(pallas_copy, x)
+    ms_xla = _timeit(lambda a: a * 1.0000001 + 1e-9, x)
+    pallas_bw = 2 * gb / (ms_pallas / 1e3)
+    xla_bw = 2 * gb / (ms_xla / 1e3)
+    flip = pallas_bw >= flip_gbps
+    print(f"[gate 1] pallas pipeline DMA: {pallas_bw:6.0f} GB/s | "
+          f"XLA elementwise: {xla_bw:6.0f} GB/s | threshold {flip_gbps:.0f}")
+    print("[gate 1] " + (
+        "FLIP: DMA floor crossed — re-measure cfg.tpu.fuse_inference=on "
+        "in-model (bench.py featext A/B)" if flip else
+        "no-flip: fused bottleneck stays disabled "
+        "(cfg.tpu.fuse_inference off)"))
+    return {"pallas_gbps": round(pallas_bw, 1), "xla_gbps": round(xla_bw, 1),
+            "flip": flip}
+
+
+def gate_beam_gather() -> dict:
+    """micro14 full six-program A/B; PASS == zero mismatches."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "micro14_beam_gather_ab",
+        Path(__file__).resolve().parent / "micro14_beam_gather_ab.py",
+    )
+    m14 = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m14)
+    worst = m14.main()
+    flip = worst == 0
+    print("[gate 2] " + (
+        "FLIP candidate: beam-gather A/B PASS on this stack — the opt-in "
+        "VIDSITU_PALLAS_BEAM_GATHER may be reconsidered (ancestry decode "
+        "has made it obsolete on the default path)" if flip else
+        f"no-flip: beam gather corrupts ({worst} token mismatches) — "
+        "keep VIDSITU_PALLAS_BEAM_GATHER off"))
+    return {"worst_mismatches": worst, "flip": flip}
+
+
+def gate_batch_optimum() -> dict:
+    """Quick featext batch re-check around the landed b=24 optimum."""
+    import json
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    best, best_clips = None, None
+    out = {}
+    for clips in (100, 120, 140):
+        p = subprocess.run(
+            [sys.executable, "bench.py", "featext", str(clips)],
+            cwd=repo, env=dict(os.environ), capture_output=True,
+            text=True, timeout=1200,
+        )
+        lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        val = json.loads(lines[-1])["value"] if lines else 0.0
+        out[clips] = val
+        print(f"[gate 3] featext clips={clips}: {val:.1f} clips/s")
+        if best is None or val > best:
+            best, best_clips = val, clips
+    print(f"[gate 3] optimum: {best_clips} clips ({best:.1f}); landed "
+          "default is 120 — " + (
+              "no-flip" if best_clips == 120 else "FLIP: retune bench.py"))
+    return {"rates": out, "best_clips": best_clips}
+
+
+def main(batch: bool = False) -> dict:
+    res = {"dma": gate_dma_floor(), "beam_gather": gate_beam_gather()}
+    if batch:
+        res["batch"] = gate_batch_optimum()
+    return res
+
+
+if __name__ == "__main__":
+    import sys
+
+    main(batch="--batch" in sys.argv)

@@ -267,3 +267,135 @@ def make_synth_dataset(
         "ds.vsitu.vsit_frm_feats_dir": str(feats_dir),
         "ds.vsitu.video_frms_tdir": str(frames_dir),
     }
+
+
+# ---------------------------------------------------------------------------
+# Real-format release fabrication (verify_release's test substrate)
+# ---------------------------------------------------------------------------
+def _pickle_as_fairseq_dictionary(voc: Vocabulary, out_path: Path) -> None:
+    """Pickle ``voc``'s state under the class path
+    ``fairseq.data.dictionary.Dictionary`` WITHOUT fairseq installed,
+    by registering throwaway module objects for the dump. Loading the
+    result without fairseq exercises Vocabulary.load's tolerant
+    unpickler — exactly what a real release pickle does
+    (dat_loader.py:81-83)."""
+    import pickle
+    import sys
+    import types
+
+    class Dictionary:  # noqa: D401 - shape-only stand-in
+        pass
+
+    Dictionary.__module__ = "fairseq.data.dictionary"
+    Dictionary.__qualname__ = "Dictionary"
+
+    mods = {}
+    for name in ("fairseq", "fairseq.data", "fairseq.data.dictionary"):
+        mods[name] = sys.modules.get(name)
+        sys.modules[name] = types.ModuleType(name)
+    sys.modules["fairseq.data.dictionary"].Dictionary = Dictionary
+    try:
+        d = Dictionary()
+        d.symbols = list(voc.symbols)
+        d.indices = dict(voc.indices)
+        d.count = [1] * len(voc.symbols)
+        d.pad_index = voc.pad_index
+        d.unk_index = voc.unk_index
+        d.eos_index = voc.eos_index
+        d.bos_index = voc.bos_index
+        d.pad_word, d.unk_word = voc.pad_word, voc.unk_word
+        d.eos_word, d.bos_word = voc.eos_word, voc.bos_word
+        with open(out_path, "wb") as f:
+            pickle.dump(d, f)
+    finally:
+        for name, old in mods.items():
+            if old is None:
+                del sys.modules[name]
+            else:
+                sys.modules[name] = old
+
+
+def make_release_tree(
+    root,
+    n_train: int = 6,
+    n_valid: int = 4,
+    n_test: int = 3,
+    feat_dim: int = 2048,
+    vocab_size: int = 384,
+    seed: int = 0,
+    with_frames: bool = False,
+    frame_hw: int = 32,
+) -> Path:
+    """Fabricate a REAL-FORMAT VidSitu release under ``root``: the
+    reference's ``./data`` layout with PICKLED vocab artifacts — a live
+    ``transformers.GPT2TokenizerFast`` (dat_loader.py:87-89) and a
+    fairseq-``Dictionary``-shaped pickle (dat_loader.py:81-83) — i.e.
+    the inputs ``python -m vidsitu_tpu.verify_release`` validates.
+
+    Builds on :func:`make_synth_dataset` (same annotations/feats/frames)
+    and replaces the vocab artifacts with their release formats.
+    """
+    import pickle
+    import tempfile
+
+    root = Path(root)
+    make_synth_dataset(
+        root,
+        n_train=n_train,
+        n_valid=n_valid,
+        n_test=n_test,
+        feat_dim=feat_dim,
+        vocab_size=vocab_size,
+        seed=seed,
+        with_frames=with_frames,
+        frame_hw=frame_hw,
+    )
+    vocab_dir = root / "vsitu_vocab"
+
+    # 1. verb vocab: pickled fairseq-Dictionary shape
+    verb_voc = Vocabulary.from_symbols(VERB_POOL)
+    _pickle_as_fairseq_dictionary(verb_voc, vocab_dir / "verb_id_vocab.pkl")
+
+    # 2. GPT-2 task vocab: a pickled LIVE HF fast tokenizer with the
+    #    reference's added-token construction (dat_loader.py:99-122)
+    from transformers import GPT2TokenizerFast
+
+    # rebuild the same base BPE the synth vocab dirs use
+    corpus: List[str] = []
+    for split_fname in (root / "vidsitu_annotations" / "vseg_ann_files").iterdir():
+        for ann in json.loads(split_fname.read_text()):
+            for ev in range(1, 6):
+                corpus.append(ann[f"Ev{ev}"]["VerbID"])
+                corpus.extend(ann[f"Ev{ev}"]["Args"].values())
+    bpe = train_byte_level_bpe(corpus, vocab_size=vocab_size)
+    with tempfile.TemporaryDirectory() as td:
+        base = dict(bpe.encoder)
+        # real GPT-2 carries <|endoftext|> in the BASE vocab (id 50256)
+        if "<|endoftext|>" not in base:
+            base["<|endoftext|>"] = len(base)
+        with open(Path(td) / "vocab.json", "w", encoding="utf-8") as f:
+            json.dump(base, f, ensure_ascii=False)
+        with open(Path(td) / "merges.txt", "w", encoding="utf-8") as f:
+            f.write("#version: 0.2\n")
+            for (a, b), _ in sorted(
+                bpe.bpe_ranks.items(), key=lambda kv: kv[1]
+            ):
+                f.write(f"{a} {b}\n")
+        hf_tok = GPT2TokenizerFast(
+            vocab_file=str(Path(td) / "vocab.json"),
+            merges_file=str(Path(td) / "merges.txt"),
+            unk_token="<|endoftext|>",
+            bos_token="<|endoftext|>",
+            eos_token="<|endoftext|>",
+        )
+    seps = ["<EV_SEP>"]
+    for ag in ARG_NAMES_CANON:
+        if ag == "Vb":
+            continue
+        seps.extend([f"<{ag}>", f"</{ag}>"])
+    hf_tok.add_tokens(seps)
+    hf_tok.add_tokens(list(VERB_POOL))
+    hf_tok.add_special_tokens({"pad_token": "<|pad|>"})
+    with open(vocab_dir / "bpe_with_seps_vb_arg_vocab.pkl", "wb") as f:
+        pickle.dump(hf_tok, f)
+    return root
