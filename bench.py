@@ -47,11 +47,13 @@ def bench_slowfast_featext(clips: int = 120, iters: int = 10) -> dict:
     model = build_feat_extractor(cfg)
 
     rng = jax.random.PRNGKey(0)
-    # 5-event folding happens before the backbone; bench at the clip level
-    # with a (clips//5-ish) video batch shaped (B, 5, T, H, W, C)
+    # 5-event fold happens HOST-side (data/loader.fold_frame_events, a
+    # free numpy view): the device program receives 5-D (B*5, T, H, W, C)
+    # frames — the in-graph (B,5,...)->(B*5,...) reshape materializes an
+    # ~11 ms copy at this size (benchmarks/micro20)
     b = max(clips // 5, 1)
-    fast = jax.random.normal(rng, (b, 5, 32, 224, 224, 3), jnp.bfloat16)
-    slow = jax.random.normal(rng, (b, 5, 8, 224, 224, 3), jnp.bfloat16)
+    fast = jax.random.normal(rng, (b * 5, 32, 224, 224, 3), jnp.bfloat16)
+    slow = jax.random.normal(rng, (b * 5, 8, 224, 224, 3), jnp.bfloat16)
     batch = {"frms_ev_fast_tensor": fast, "frms_ev_slow_tensor": slow}
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), batch)
@@ -59,10 +61,13 @@ def bench_slowfast_featext(clips: int = 120, iters: int = 10) -> dict:
     # Chain iterations inside ONE jitted call: the tunneled runtime makes
     # per-dispatch host timing meaningless (async queue + relay RTT), and a
     # data dependence between iterations defeats CSE/hoisting.
+    # Weights are CLOSURE CONSTANTS, matching the production extractor
+    # (extract.py bakes the fixed params into the executable; ~6% faster
+    # than params-as-args, benchmarks/micro22).
     from functools import partial
 
-    @partial(jax.jit, static_argnums=2)
-    def run(v, x, n):
+    @partial(jax.jit, static_argnums=1)
+    def run(x, n):
         def body(_, carry):
             # perturb BOTH pathways: a loop-invariant input lets XLA hoist
             # that pathway's stem out of the loop and over-report
@@ -70,13 +75,13 @@ def bench_slowfast_featext(clips: int = 120, iters: int = 10) -> dict:
                 "frms_ev_fast_tensor": x["frms_ev_fast_tensor"] + carry,
                 "frms_ev_slow_tensor": x["frms_ev_slow_tensor"] + carry,
             }
-            f = model.apply(v, inp)["feats"]
+            f = model.apply(variables, inp)["feats"]
             return (f.mean() * 1e-9).astype(jnp.bfloat16)
 
         return jax.lax.fori_loop(0, n, body, jnp.bfloat16(0))
 
     n_clips = b * 5
-    float(run(variables, batch, iters))  # compile once
+    float(run(batch, iters))  # compile once
     # measure the host-fetch round trip to subtract it (one tiny compile)
     trivial = jax.jit(lambda: jnp.zeros((), jnp.bfloat16))
     float(trivial())
@@ -84,7 +89,7 @@ def bench_slowfast_featext(clips: int = 120, iters: int = 10) -> dict:
     float(trivial())
     rtt = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(run(variables, batch, iters))
+    float(run(batch, iters))
     dt = (time.perf_counter() - t0) - rtt
     cps = n_clips * iters / dt
     return {
@@ -95,22 +100,35 @@ def bench_slowfast_featext(clips: int = 120, iters: int = 10) -> dict:
     }
 
 
-def bench_srl_train(bs: int = 32, iters: int = 20) -> dict:
+def bench_srl_train(bs: int = 32, iters: int = 20, task: str = "vb_arg",
+                    mdl: str = "sfpret_txe_txd_vbarg",
+                    extra: dict = None, name: str = "srl_train_throughput",
+                    unit_videos: bool = False) -> dict:
+    """Jitted fwd+bwd+Adam train-step throughput for a language-side task
+    model. With ``extra`` dims it benches the reference's production
+    geometry (VERDICT r3 #5: real-dims training receipts for SRL/evrel,
+    not just vb)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from __graft_entry__ import _setup
 
-    cfg, model, variables, batch = _setup(bs=bs)
+    cfg, model, variables, batch = _setup(
+        bs=bs, task_type=task, mdl_name=mdl, extra=extra
+    )
     optimizer = optax.adam(1e-4, b1=0.9, b2=0.99)
     params = variables["params"]
     opt_state = optimizer.init(params)
+    drng = jax.random.PRNGKey(7)
 
     @jax.jit
     def step(params, opt_state, batch):
         def loss_fn(p):
-            return model.apply({"params": p}, batch)["loss"]
+            return model.apply(
+                {"params": p}, batch, deterministic=False,
+                rngs={"dropout": drng},
+            )["loss"]
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state2 = optimizer.update(grads, opt_state, params)
@@ -126,9 +144,9 @@ def bench_srl_train(bs: int = 32, iters: int = 20) -> dict:
     float(loss)
     dt = time.perf_counter() - t0
     return {
-        "metric": "srl_train_throughput",
+        "metric": name,
         "value": round(bs * iters / dt, 2),
-        "unit": "samples/sec",
+        "unit": "videos/sec/chip" if unit_videos else "samples/sec",
         "vs_baseline": 0.0,
     }
 
@@ -404,6 +422,20 @@ if __name__ == "__main__":
         kw["iters"] = int(sys.argv[3])
     if which == "srl":
         print(json.dumps(bench_srl_train(**kw)))
+    elif which == "srl_real":
+        # reference production SRL geometry (configs/vsitu_tx_cfgs/
+        # transformer.yaml: d=1024, ffn=2048, 3L, h=8), videos/sec/chip
+        kw.setdefault("bs", 16)
+        print(json.dumps(bench_srl_train(
+            extra=_REAL_TX, name="srl_train_throughput_d1024",
+            unit_videos=True, **kw)))
+    elif which == "evrel_real":
+        # roberta-base dims are the config defaults (rob_mdl:); extra={}
+        # keeps them instead of the graft-entry tiny dims
+        kw.setdefault("bs", 8)
+        print(json.dumps(bench_srl_train(
+            task="evrel", mdl="rob_evrel", extra={},
+            name="evrel_train_throughput_robbase", unit_videos=True, **kw)))
     elif which == "decode":
         print(json.dumps(bench_srl_decode(**kw)))
     elif which == "decode5":

@@ -191,3 +191,37 @@ def test_on_device_preproc_equivalence(env):
     out_f = np.asarray(fwd(variables, {k: jnp.asarray(v) for k, v in batch_f.items()}))
     out_u = np.asarray(fwd(variables, {k: jnp.asarray(v) for k, v in batch_u.items()}))
     np.testing.assert_allclose(out_f, out_u, atol=1e-4)
+
+
+def test_prefolded_5d_inputs_match_6d(env):
+    """Host-side event fold (data/loader.fold_frame_events): the model
+    accepts pre-folded (B*5, T, H, W, C) frames and produces bit-equal
+    outputs to the 6-D (B, 5, ...) compatibility path."""
+    from vidsitu_tpu.data.loader import fold_frame_events
+    from vidsitu_tpu.models.vb_models import VbVideoModel
+
+    cfg = mk(env)
+    vid_cfg = VideoCfg.from_cfg(cfg.vid_mdl)
+    model = VbVideoModel(vid_cfg=vid_cfg, num_classes=17)
+    rng = np.random.default_rng(0)
+    batch6 = {
+        "frms_ev_fast_tensor": rng.standard_normal(
+            (2, 5, 4, 32, 32, 3)
+        ).astype(np.float32),
+        "frms_ev_slow_tensor": rng.standard_normal(
+            (2, 5, 1, 32, 32, 3)
+        ).astype(np.float32),
+        "label_tensor": np.zeros((2, 5), np.int64),
+    }
+    batch5 = fold_frame_events(batch6)
+    assert batch5["frms_ev_fast_tensor"].shape == (10, 4, 32, 32, 3)
+    assert batch5["label_tensor"].shape == (2, 5)  # non-frame keys intact
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch6)
+    out6 = jax.jit(model.apply)(variables, batch6)
+    out5 = jax.jit(model.apply)(variables, batch5)
+    np.testing.assert_array_equal(
+        np.asarray(out6["mdl_out"]), np.asarray(out5["mdl_out"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out6["loss"]), np.asarray(out5["loss"])
+    )

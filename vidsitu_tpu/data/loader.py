@@ -32,6 +32,30 @@ def stack_collate(batch: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     return out
 
 
+_FRAME_KEYS = ("frms_ev_fast_tensor", "frms_ev_slow_tensor")
+
+
+def fold_frame_events(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Fold the 5-event axis of the frame tensors into the batch axis on
+    the HOST: (B, 5, T, H, W, C) -> (B*5, T, H, W, C), a free
+    C-contiguous numpy view.
+
+    Doing the fold in-graph materializes a full copy of the frames (XLA
+    lays the folded tensor out batch-minor, so the reshape cannot be a
+    bitcast — ~11 ms at 120 clips on v5e, benchmarks/micro20); the model
+    (models/vb_models._fold_events) accepts either form. Other keys
+    (labels etc.) keep their (B, ...) shape — the model realigns via the
+    row order, which the fold preserves.
+    """
+    out = dict(batch)
+    for k in _FRAME_KEYS:
+        v = out.get(k)
+        if v is not None and getattr(v, "ndim", 0) == 6:
+            arr = np.asarray(v)
+            out[k] = arr.reshape((arr.shape[0] * arr.shape[1],) + arr.shape[2:])
+    return out
+
+
 class ShardedSampler:
     """Deterministic shuffled/sequential index sampler over dataset shards.
 

@@ -387,8 +387,13 @@ class Learner:
         pending = None  # (loss device array, its iteration number)
         # device transfers of batch k+1 overlap with the compute of batch
         # k (prefetch_to_device); host-side decode overlaps via the
-        # loader's own prefetch threads
-        for bix, batch in enumerate(prefetch_to_device(dl, self.mesh)):
+        # loader's own prefetch threads. Frame tensors fold (B,5,...) ->
+        # (B*5,...) on the host — in-graph the fold materializes a copy
+        # (data/loader.fold_frame_events)
+        from ..data.loader import fold_frame_events
+
+        folded = (fold_frame_events(b) for b in dl)
+        for bix, batch in enumerate(prefetch_to_device(folded, self.mesh)):
             if profiling and bix == 1:
                 jax.profiler.start_trace(prof_dir)
                 prof_started = True
@@ -565,7 +570,11 @@ class Learner:
         self._ensure_global()
         self._own_buffers()
         train_step = self._build_train_step()
-        batch = shard_batch(next(iter(self.data.train_dl)), self.mesh)
+        from ..data.loader import fold_frame_events
+
+        batch = shard_batch(
+            fold_frame_events(next(iter(self.data.train_dl))), self.mesh
+        )
         params, extra = self._split_vars()
         losses = []
         for _ in range(epochs):
