@@ -89,7 +89,7 @@ def main(bs: int = 8, beam: int = 5):
         return seqs[:, 0].reshape(b, 5, 1, seqs.shape[-1])
 
     res = {}
-    for tag, v in (("dot", "0"), ("pallas", "1")):
+    for tag, v in (("dot", "0"), ("pallas", "unsafe-acknowledged")):
         os.environ["VIDSITU_PALLAS_BEAM_GATHER"] = v
         res["gen_" + tag] = np.asarray(
             build_srl_generate_fn(cfg, comm, model)(variables, inp)

@@ -55,7 +55,7 @@ def test_gather_beams_routes_narrow_leaves_to_dot(monkeypatch):
         return real(xs, idx, **kw)
 
     monkeypatch.setattr(bg, "beam_gather_rows_multi", spy)
-    monkeypatch.setenv("VIDSITU_PALLAS_BEAM_GATHER", "1")
+    monkeypatch.setenv("VIDSITU_PALLAS_BEAM_GATHER", "unsafe-acknowledged")
     got = _gather_beams(tree, beam_idx, batch, beam)
     assert seen == [1024]  # narrow leaf never reached the kernel
     idx = np.asarray(beam_idx)
@@ -102,3 +102,20 @@ def test_beam_gather_rows_multi_matches_numpy():
         np.testing.assert_array_equal(
             np.asarray(o), np.asarray(x)[np.asarray(idx)]
         )
+
+
+def test_stale_enable_value_raises(monkeypatch):
+    """Quarantine: the pre-round-4 enable value '1' must raise loudly so
+    stale scripts cannot reach the known-corrupting kernel by accident
+    (BENCH.md round-3 'layout hazard'; re-verify via bench.py gates)."""
+    import pytest
+
+    from vidsitu_tpu.gen.beam import _pallas_gather_enabled
+
+    monkeypatch.setenv("VIDSITU_PALLAS_BEAM_GATHER", "1")
+    with pytest.raises(RuntimeError, match="gates"):
+        _pallas_gather_enabled()
+    monkeypatch.setenv("VIDSITU_PALLAS_BEAM_GATHER", "0")
+    assert _pallas_gather_enabled() is False
+    monkeypatch.delenv("VIDSITU_PALLAS_BEAM_GATHER")
+    assert _pallas_gather_enabled() is False

@@ -541,7 +541,7 @@ def test_eval_sharded_pallas_gather_equals_dot(env, tmp_path, monkeypatch):
     monkeypatch.setattr(bg, "beam_gather_rows_multi", counting)
 
     out = {}
-    for tag, envval in (("dot", "0"), ("pallas", "1")):
+    for tag, envval in (("dot", "0"), ("pallas", "unsafe-acknowledged")):
         monkeypatch.setenv("VIDSITU_PALLAS_BEAM_GATHER", envval)
         calls["n"] = 0
         gen_fn = build_srl_generate_fn(cfg, comm, model, mesh=mesh)
@@ -552,7 +552,7 @@ def test_eval_sharded_pallas_gather_equals_dot(env, tmp_path, monkeypatch):
         # the kernel must actually engage at trace time when forced on
         # (guards against silently-ineligible cache leaves making this
         # test vacuous), and stay out of the dot path
-        assert (calls["n"] > 0) == (envval == "1"), (tag, calls["n"])
+        assert (calls["n"] > 0) == (envval != "0"), (tag, calls["n"])
         out[tag] = pickle.load(open(pdir / "valid_0.pkl", "rb"))
 
     assert out["dot"] == out["pallas"]

@@ -199,12 +199,32 @@ def _pallas_gather_enabled() -> bool:
     no caller-side rule can contract with (full investigation:
     BENCH.md round 3, "pallas beam gather layout hazard";
     benchmarks/micro14_beam_gather_ab.py re-verifies per stack).
-    VIDSITU_PALLAS_BEAM_GATHER=1 enables for re-measurement; flip the
-    default only when micro14 reports zero mismatches on the current
-    stack."""
+    Ancestry decode (the default) made the kernel obsolete on every
+    production path; it remains only for the ancestry-off mode on a
+    stack where `python bench.py gates` reports the beam-gather A/B
+    PASS. Quarantine (VERDICT r3 #7): enabling requires the explicit
+    acknowledgment value below — the old '1' raises, so no stale
+    script/env can reach the known-corrupting kernel by accident."""
     import os
 
-    return os.environ.get("VIDSITU_PALLAS_BEAM_GATHER", "") == "1"
+    v = os.environ.get("VIDSITU_PALLAS_BEAM_GATHER", "")
+    if v in ("", "0"):
+        return False
+    if v != "unsafe-acknowledged":
+        raise RuntimeError(
+            "VIDSITU_PALLAS_BEAM_GATHER: the pallas row-DMA beam gather "
+            "corrupted decode tokens on the round-3 axon stacks (BENCH.md "
+            "'layout hazard'). Run `python bench.py gates` — only if the "
+            "beam-gather A/B prints PASS on your stack, set "
+            "VIDSITU_PALLAS_BEAM_GATHER=unsafe-acknowledged to enable."
+        )
+    import warnings
+
+    warnings.warn(
+        "pallas beam gather enabled (unsafe-acknowledged): verify "
+        "`python bench.py gates` PASSes on this stack", stacklevel=2,
+    )
+    return True
 
 
 def _banned_ngram_mask(
