@@ -330,9 +330,15 @@ def bench_host_feed(segments: int = 4, iters: int = 3) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_vb_train(b: int = 8, iters: int = 4) -> dict:
+def bench_vb_train(b: int = 8, iters: int = 4, remat_stages: str = "",
+                   bn_f32_stats: bool = True) -> dict:
     """SlowFast-R50 8x8 verb-model TRAINING throughput (fwd+bwd+Adam+BN),
-    videos/sec/chip at the real geometry, steps chained via lax.scan."""
+    videos/sec/chip at the real geometry, steps chained via lax.scan.
+    Frames ship pre-folded 5-D, matching the learner's host-side fold.
+
+    Levers (VERDICT r3 #4): ``remat_stages='s2,s3'`` checkpoints only the
+    high-res stages (for b>8); ``bn_f32_stats=False`` reduces BN batch
+    stats in bf16."""
     import functools
 
     import jax
@@ -349,16 +355,17 @@ def bench_vb_train(b: int = 8, iters: int = 4) -> dict:
            "train.dtype": "bfloat16"},
     )
     vid_cfg = VideoCfg.from_cfg(
-        cfg.vid_mdl, dtype=jnp.bfloat16, param_dtype=jnp.float32
+        cfg.vid_mdl, dtype=jnp.bfloat16, param_dtype=jnp.float32,
+        remat_stages=remat_stages, bn_f32_stats=bn_f32_stats,
     )
     model = VbVideoModel(vid_cfg=vid_cfg, num_classes=2154)
     rng = jax.random.PRNGKey(0)
     batch = {
         "frms_ev_fast_tensor": jax.random.normal(
-            rng, (b, 5, 32, 224, 224, 3), jnp.bfloat16
+            rng, (b * 5, 32, 224, 224, 3), jnp.bfloat16
         ),
         "frms_ev_slow_tensor": jax.random.normal(
-            rng, (b, 5, 8, 224, 224, 3), jnp.bfloat16
+            rng, (b * 5, 8, 224, 224, 3), jnp.bfloat16
         ),
         "label_tensor": jnp.zeros((b, 5), jnp.int32),
     }
@@ -416,10 +423,11 @@ if __name__ == "__main__":
     #   python bench.py vbtrain [b] [iters]
     #   python bench.py featext [clips] [iters]
     kw = {}
-    if len(sys.argv) > 2:
-        kw["bs"] = int(sys.argv[2])
-    if len(sys.argv) > 3:
-        kw["iters"] = int(sys.argv[3])
+    sizes = [a for a in sys.argv[2:] if not a.startswith("--")]
+    if len(sizes) > 0:
+        kw["bs"] = int(sizes[0])
+    if len(sizes) > 1:
+        kw["iters"] = int(sizes[1])
     if which == "srl":
         print(json.dumps(bench_srl_train(**kw)))
     elif which == "srl_real":
@@ -447,6 +455,12 @@ if __name__ == "__main__":
     elif which == "vbtrain":
         if "bs" in kw:
             kw["b"] = kw.pop("bs")
+        # flags: --remat=s2,s3  --bf16stats
+        for a in sys.argv[2:]:
+            if a.startswith("--remat="):
+                kw["remat_stages"] = a.split("=", 1)[1]
+            elif a == "--bf16stats":
+                kw["bn_f32_stats"] = False
         print(json.dumps(bench_vb_train(**kw)))
     elif which == "feed":
         if "bs" in kw:

@@ -225,3 +225,73 @@ def test_prefolded_5d_inputs_match_6d(env):
     np.testing.assert_array_equal(
         np.asarray(out6["loss"]), np.asarray(out5["loss"])
     )
+
+
+def test_selective_remat_matches_full(env):
+    """remat_stages checkpoints only the named stages; grads must equal
+    the non-remat program (remat is numerics-preserving)."""
+    from vidsitu_tpu.models.vb_models import VbVideoModel
+
+    cfg = mk(env)
+    rng = np.random.default_rng(1)
+    batch = {
+        "frms_ev_fast_tensor": rng.standard_normal(
+            (10, 4, 32, 32, 3)
+        ).astype(np.float32),
+        "frms_ev_slow_tensor": rng.standard_normal(
+            (10, 1, 32, 32, 3)
+        ).astype(np.float32),
+        "label_tensor": np.zeros((2, 5), np.int64),
+    }
+
+    def grads(remat_stages):
+        vc = VideoCfg.from_cfg(cfg.vid_mdl, remat_stages=remat_stages)
+        model = VbVideoModel(vid_cfg=vc, num_classes=17)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+
+        def loss_fn(p):
+            out, _ = model.apply(
+                {**variables, "params": p}, batch, deterministic=False,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            return out["loss"]
+
+        return jax.jit(jax.grad(loss_fn))(variables["params"])
+
+    g0 = grads("")
+    g1 = grads("s2,s3")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-6
+        ),
+        g0, g1,
+    )
+
+
+def test_bn_bf16_stats_knob_runs(env):
+    """bn_f32_stats=False must produce a close (not bit-equal) loss."""
+    from vidsitu_tpu.models.vb_models import VbVideoModel
+
+    cfg = mk(env)
+    rng = np.random.default_rng(2)
+    batch = {
+        "frms_ev_fast_tensor": rng.standard_normal(
+            (10, 4, 32, 32, 3)
+        ).astype(np.float32),
+        "frms_ev_slow_tensor": rng.standard_normal(
+            (10, 1, 32, 32, 3)
+        ).astype(np.float32),
+        "label_tensor": np.zeros((2, 5), np.int64),
+    }
+    losses = {}
+    for f32 in (True, False):
+        vc = VideoCfg.from_cfg(cfg.vid_mdl, bn_f32_stats=f32)
+        model = VbVideoModel(vid_cfg=vc, num_classes=17)
+        variables = model.init(jax.random.PRNGKey(0), batch)
+        out, _ = model.apply(
+            variables, batch, deterministic=False,
+            mutable=["batch_stats"], rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        losses[f32] = float(out["loss"])
+    assert abs(losses[True] - losses[False]) < 0.05 * abs(losses[True]) + 1e-3

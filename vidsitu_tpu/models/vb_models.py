@@ -137,6 +137,8 @@ def build_vb_model(cfg, comm):
     vid_cfg = VideoCfg.from_cfg(
         cfg.vid_mdl, dtype=dtype, param_dtype=param_dtype,
         remat=cfg.train.remat, fuse_inference=_fuse_flag(cfg),
+        remat_stages=cfg.train.remat_stages,
+        bn_f32_stats=cfg.train.bn_f32_stats,
     )
     return VbVideoModel(vid_cfg=vid_cfg, num_classes=len(comm.vb_id_vocab))
 
@@ -148,5 +150,7 @@ def build_feat_extractor(cfg):
     vid_cfg = VideoCfg.from_cfg(
         cfg.vid_mdl, dtype=dtype, param_dtype=param_dtype,
         remat=cfg.train.remat, fuse_inference=_fuse_flag(cfg),
+        remat_stages=cfg.train.remat_stages,
+        bn_f32_stats=cfg.train.bn_f32_stats,
     )
     return VbVideoModel(vid_cfg=vid_cfg, num_classes=0)
