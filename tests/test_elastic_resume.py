@@ -133,6 +133,28 @@ def _elastic_roundtrip(env, backend, save_mesh, resume_mesh, tag):
         )
 
 
+def test_midrun_resize(env):
+    """Mid-run elasticity: request_resize rebuilds the mesh + jitted step
+    at the epoch boundary and training CONTINUES in-process (no restart,
+    no checkpoint). Epoch 1 runs on the 2x4 data+fsdp mesh, epoch 2 on a
+    4-device data mesh; the final params must match an uninterrupted
+    same-seed 2-epoch run on the original mesh to fp-reduction noise."""
+    la = _make_learner(mk(env, "rsz_a"), _mesh8())
+    la.request_resize(4)  # applied after epoch 1 completes
+    la.fit(2, 1e-3)
+    assert dict(la.mesh.shape) == {"data": 4}
+    assert "elastic resize" in la.txt_log_file.read_text()
+
+    lb = _make_learner(mk(env, "rsz_b"), _mesh8())
+    lb.fit(2, 1e-3)
+
+    for a, b in zip(
+        jax.tree.leaves(la.variables["params"]),
+        jax.tree.leaves(lb.variables["params"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+
+
 def test_elastic_shrink_pickle(env):
     """8-device {data:2, fsdp:4} checkpoint resumes on 1 device."""
     _elastic_roundtrip(env, "pickle", _mesh8(), _mesh1(), "shr_p")

@@ -176,6 +176,49 @@ def test_packed_stem_conv_matches_plain_conv():
         )
 
 
+def test_stem_packed_epilogue_bit_exact():
+    """The inference fast-stem fused epilogue (packed BN-affine + relu +
+    shifted-max pool, Stem._packed_epilogue) must be BIT-EXACT vs the
+    plain unpacked chain, and the param tree identical."""
+    import jax
+    import jax.numpy as jnp
+
+    from vidsitu_tpu.models.video_backbone import Stem, VideoCfg
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 8, 32, 32, 3), jnp.float32)
+    outs, trees = [], []
+    for epi in (True, False):
+        cfg = VideoCfg(packed_stem_epilogue=epi)
+        stem = Stem(8, 5, cfg)
+        v = stem.init(jax.random.PRNGKey(1), x, True)
+        # nonzero running stats so the affine actually does something
+        stats = jax.tree.map(
+            lambda a: a + 0.3 * jnp.arange(a.size, dtype=a.dtype),
+            v["batch_stats"],
+        )
+        outs.append(stem.apply({**v, "batch_stats": stats}, x, False))
+        trees.append(jax.tree_util.tree_structure(v))
+    assert trees[0] == trees[1]
+    assert outs[0].shape == outs[1].shape == (2, 8, 8, 8, 8)
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[1]))
+
+
+def test_stem_packed_epilogue_odd_t_falls_back():
+    """Geometry the (4,2,2) packing can't take (t % 4 != 0) must route to
+    the plain chain and still work."""
+    import jax
+    import jax.numpy as jnp
+
+    from vidsitu_tpu.models.video_backbone import Stem, VideoCfg
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 32, 32, 3), jnp.float32)
+    stem = Stem(8, 5, VideoCfg())
+    v = stem.init(jax.random.PRNGKey(1), x, True)
+    y = stem.apply(v, x, False)
+    assert y.shape == (1, 2, 8, 8, 8)
+
+
 def test_packed_stem_conv_gradients_match():
     import jax
     import jax.numpy as jnp
@@ -261,7 +304,7 @@ def test_prep_dwn_vids_webm_fallback(tmp_path, monkeypatch, capsys):
 
     calls = []
 
-    def fake_download(seg, out_dir, fmt="22/best"):
+    def fake_download(seg, out_dir, fmt="22/best", retries=3):
         calls.append((seg, fmt))
         if seg == "v_bad_seg_0_10" and fmt != "webm":
             return None
@@ -277,6 +320,64 @@ def test_prep_dwn_vids_webm_fallback(tmp_path, monkeypatch, capsys):
     assert ("v_bad_seg_0_10", "webm") in calls
     assert ("v_ok_seg_0_10", "webm") not in calls
     assert "downloaded 2/2" in capsys.readouterr().out
+
+
+def test_prep_setup_yaml_surface(tmp_path, monkeypatch, capsys):
+    """The reference's setup-YAML surface (dwn_yt.py:285): defaults come
+    from a vsitu_setup_cfg.yml with the REFERENCE key names
+    (video_trimmed_dir / max_processes / split_dir / retry_count), the
+    split list is the union of split_dir's *.json files, and explicit
+    flags still override the YAML."""
+    import json
+    from pathlib import Path
+
+    import vidsitu_tpu.prep as prep
+
+    split_dir = tmp_path / "split_files"
+    split_dir.mkdir()
+    (split_dir / "a_split.json").write_text(
+        json.dumps(["v_a_seg_0_10", "v_b_seg_0_10"])
+    )
+    (split_dir / "b_split.json").write_text(
+        json.dumps(["v_b_seg_0_10", "v_c_seg_0_10"])
+    )
+    setup = tmp_path / "setup.yml"
+    setup.write_text(
+        f"video_trimmed_dir: '{tmp_path / 'vids'}'\n"
+        f"split_dir: '{split_dir}'\n"
+        "max_processes: 1\n"
+        "retry_count: 7\n"
+    )
+
+    seen = []
+
+    def fake_download(seg, out_dir, fmt="22/best", retries=3):
+        seen.append((seg, str(out_dir), retries))
+        return Path(f"/fake/{seg}.mp4")
+
+    monkeypatch.setattr(prep, "download_clip", fake_download)
+    prep.main(["--task_type=dwn_vids", f"--setup_cfg={setup}"])
+    assert sorted(s for s, _, _ in seen) == [
+        "v_a_seg_0_10", "v_b_seg_0_10", "v_c_seg_0_10"
+    ]
+    assert all(d == str(tmp_path / "vids") for _, d, _ in seen)
+    assert all(r == 7 for _, _, r in seen)
+    assert "downloaded 3/3" in capsys.readouterr().out
+
+    # explicit flag overrides the YAML
+    seen.clear()
+    prep.main([
+        "--task_type=dwn_vids", f"--setup_cfg={setup}",
+        f"--video_dir={tmp_path / 'other'}",
+    ])
+    assert all(d == str(tmp_path / "other") for _, d, _ in seen)
+
+    # the packaged default YAML parses
+    from vidsitu_tpu.prep import _SETUP_CFG, _load_setup_cfg
+    assert _SETUP_CFG.exists()
+    mapped = _load_setup_cfg(_SETUP_CFG)
+    assert mapped["max_workers"] == 30
+    assert mapped["video_dir"] == "./data/vsitu_video_trimmed_dir"
 
 
 def test_default_feats_dir_per_model(tmp_path):

@@ -139,6 +139,29 @@ def lea_soft(
     (m, m2) contributes ``(w_m + w_m2) / 2`` instead of 1; a correct
     singleton contributes its weight. When weights are absent this reduces
     exactly to LEA.
+
+    Derivation note (the reference's coval fork is unpublished, so the
+    semantics are INFERRED from its call site — audit trail below):
+
+    * LEA (Moosavi & Strube, ACL 2016, eq. 1-4) scores each entity e by
+      ``importance(e) * resolution(e)``, with ``importance(e) = |e|`` and
+      ``resolution(e) = link(e ∩ assigned) / link(e)`` where
+      ``link(e) = |e|(|e|-1)/2``; singletons count a self-link.
+    * The fork's call site (reference ``evl_fns.py:630-648``) builds
+      ``cider_for_sys`` shaped exactly like the SYSTEM clusters — one
+      sentence-CIDEr per predicted mention — and passes it only to
+      ``lea_soft``'s update, whose recall side coval computes from the
+      KEY clusters (no weights can apply there). Hence the weights scale
+      the PRECISION side (``Evaluator.update`` below mirrors this:
+      weighted precision, plain-LEA recall).
+    * The link weight ``(w_m + w_m2)/2`` is the unique linear form under
+      which a PERFECTLY resolved system entity scores
+      ``resolution = mean(w)``: each mention's text quality discounts
+      exactly its own share of the entity's credit (sum over the
+      ``k(k-1)/2`` pairs of ``(w_i+w_j)/2`` is ``(k-1)/2 * sum(w)``).
+      ``importance`` and the ``link(e)`` denominator stay unweighted, so
+      ``lea_soft <= lea`` pointwise, unit weights reduce it to LEA
+      (property-tested), and zero-quality mentions earn zero link credit.
     """
     if mention_weights is None:
         return lea(input_clusters, output_clusters, mention_to_gold)

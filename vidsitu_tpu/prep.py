@@ -150,20 +150,72 @@ def run_pool(fn, items: List, max_workers: int = 8) -> Dict:
     return results
 
 
+_SETUP_CFG = Path(__file__).parent / "configs" / "vsitu_setup_cfg.yml"
+
+# reference setup-YAML key -> our CLI flag (dwn_yt.py:285 surface)
+_SETUP_KEY_MAP = {
+    "video_trimmed_dir": "video_dir",
+    "video_frm_tdir": "frames_dir",
+    "max_processes": "max_workers",
+    "split_dir": "split_dir",
+    "retry_count": "retry_count",
+    "frame_cache_dir": "cache_dir",
+}
+
+
+def _load_setup_cfg(path) -> Dict:
+    """configs/vsitu_setup_cfg.yml -> argparse defaults, mapping the
+    reference's key names (prep_data/dwn_yt.py:285) onto our flags."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return {
+        _SETUP_KEY_MAP[k]: v for k, v in raw.items() if k in _SETUP_KEY_MAP
+    }
+
+
+def _segs_from_split_dir(split_dir) -> List[str]:
+    """Union of the segment lists in every *.json split file (the
+    reference's YTDown.get_all_yt_ids walks split_dir the same way)."""
+    segs = set()
+    for fp in sorted(Path(split_dir).glob("*.json")):
+        with open(fp) as f:
+            data = json.load(f)
+        if isinstance(data, list):
+            segs.update(
+                s if isinstance(s, str) else s.get("vid_seg_id", "")
+                for s in data
+            )
+    segs.discard("")
+    return sorted(segs)
+
+
 def main(argv=None):
-    """CLI mirroring prep_data/dwn_yt.py --task_type=dwn_vids|extract_frames."""
+    """CLI mirroring prep_data/dwn_yt.py --task_type=dwn_vids|extract_frames.
+    Defaults come from configs/vsitu_setup_cfg.yml (the reference's setup
+    YAML surface, dwn_yt.py:285); explicit flags override it."""
     import argparse
 
     ap = argparse.ArgumentParser(description="VidSitu data prep")
+    ap.add_argument("--setup_cfg", default=str(_SETUP_CFG),
+                    help="setup YAML with reference key names "
+                         "(vsitu_setup_cfg.yml); '' disables")
     ap.add_argument("--task_type", required=True,
                     choices=["dwn_vids", "extract_frames",
                              "build_frame_cache"])
-    ap.add_argument("--split_file", required=True)
+    ap.add_argument("--split_file", default=None,
+                    help="JSON list of segment ids; alternative: "
+                         "--split_dir")
+    ap.add_argument("--split_dir", default=None,
+                    help="directory of *.json split files; all segment "
+                         "ids are unioned (reference get_all_yt_ids)")
     ap.add_argument("--video_dir", default="./data/vsitu_video_trimmed_dir")
     ap.add_argument("--frames_dir", default="./data/vsitu_frames")
     ap.add_argument("--cache_dir", default="./data/vsitu_frame_cache")
     ap.add_argument("--out_hw", type=int, default=224)
     ap.add_argument("--max_workers", type=int, default=8)
+    ap.add_argument("--retry_count", type=int, default=3)
     ap.add_argument(
         "--decode_threads", type=int, default=1,
         help="C++ decode threads per segment (build_frame_cache); "
@@ -177,10 +229,20 @@ def main(argv=None):
              "{seg}_{hw}_fast.npy name; the loader only reads it when "
              "no exact cache exists and tpu.frame_cache_write is off)",
     )
+    # two-phase parse: the setup YAML provides defaults, flags override
+    pre, _ = ap.parse_known_args(argv)
+    if pre.setup_cfg and Path(pre.setup_cfg).exists():
+        ap.set_defaults(**_load_setup_cfg(pre.setup_cfg))
     args = ap.parse_args(argv)
 
-    with open(args.split_file) as f:
-        segs = json.load(f)
+    if args.split_file:
+        with open(args.split_file) as f:
+            segs = json.load(f)
+    elif args.split_dir and Path(args.split_dir).is_dir():
+        segs = _segs_from_split_dir(args.split_dir)
+    else:
+        ap.error("need --split_file, or --split_dir (flag or setup YAML) "
+                 "pointing at an existing directory")
 
     if args.task_type == "build_frame_cache":
         # one-time JPEG decode -> per-segment uint8 npy tree; training /
@@ -201,15 +263,17 @@ def main(argv=None):
 
     if args.task_type == "dwn_vids":
         res = run_pool(
-            lambda s: download_clip(s, args.video_dir), segs,
-            max_workers=args.max_workers,
+            lambda s: download_clip(s, args.video_dir,
+                                    retries=args.retry_count),
+            segs, max_workers=args.max_workers,
         )
         # second pass over failures with format=webm, like the
         # reference (dwn_yt.py:197-202)
         failed = [s for s, v in res.items() if not isinstance(v, Path)]
         if failed:
             res.update(run_pool(
-                lambda s: download_clip(s, args.video_dir, fmt="webm"),
+                lambda s: download_clip(s, args.video_dir, fmt="webm",
+                                        retries=args.retry_count),
                 failed, max_workers=args.max_workers,
             ))
         ok = sum(1 for v in res.values() if isinstance(v, Path))

@@ -90,6 +90,7 @@ class Learner:
         self._pending_opt = None  # stashed backend payload (load-before-fit)
         self._pending_lr = None
         self._preempt_requested = False
+        self._pending_resize = None  # mid-run elasticity (request_resize)
         self._stale_preempt = None  # consumed preempt ckpt, deleted on next save
         from .checkpoint import get_backend
 
@@ -346,6 +347,61 @@ class Learner:
             self._preempt_requested = bool(np.max(flags))
         return self._preempt_requested
 
+    # -- mid-run elasticity (beyond reference parity; SURVEY §5.3 says the
+    # reference has none) -----------------------------------------------------
+    def request_resize(self, n_devices: int):
+        """Ask the training loop to rebuild the mesh over ``n_devices``
+        at the next epoch boundary — mid-run elasticity: shrink off a
+        cordoned chip or grow into freed ones WITHOUT a restart. The
+        cross-process analog (process count changes) is the topology-free
+        checkpoint restart (tests/test_elastic_resume.py)."""
+        self._pending_resize = int(n_devices)
+
+    def _apply_resize(self):
+        """Rebuild mesh + jitted step over the requested device count and
+        re-shard the live training state (params, Adam moments, BN stats).
+        Returns the new train_step. In-process only: the device pool is
+        jax.devices() as initialized."""
+        n, self._pending_resize = self._pending_resize, None
+        devices = jax.devices()[:n]
+        assert len(devices) == n, (
+            f"elastic resize to {n} devices, but only "
+            f"{len(jax.devices())} visible"
+        )
+        try:
+            new_mesh = make_mesh(self.cfg, devices=devices)
+        except AssertionError:
+            # the configured mesh shape doesn't tile n devices (e.g.
+            # fsdp=4 but n=6): fall back to pure data parallelism
+            from jax.sharding import Mesh as _Mesh
+
+            new_mesh = _Mesh(np.asarray(devices), ("data",))
+        dp_extent = int(np.prod([
+            int(new_mesh.shape[a]) for a in ("data", "fsdp")
+            if a in new_mesh.axis_names
+        ]))
+        local_dp = max(dp_extent // jax.process_count(), 1)
+        assert self.data.train_dl.batch_size % local_dp == 0, (
+            f"per-process batch {self.data.train_dl.batch_size} is not "
+            f"divisible by the resized mesh's {local_dp}-way local share"
+        )
+        # pull the live state to host; the rebuilt jit's in_shardings
+        # re-shard it on entry (the old buffers were step outputs laid
+        # out for the old mesh)
+        self.variables = jax.device_get(self.variables)
+        if self.opt_state is not None:
+            self.opt_state = jax.device_get(self.opt_state)
+        old = dict(self.mesh.shape)
+        self.mesh = new_mesh
+        self.logger.info(
+            "elastic resize: mesh %s -> %s", old, dict(new_mesh.shape)
+        )
+        self.update_log_file(
+            f"elastic resize at epoch {self.num_epoch}: "
+            f"{old} -> {dict(new_mesh.shape)}"
+        )
+        return self._build_train_step()
+
     def _own_buffers(self):
         """Copy caller-provided variables once before training: the jitted
         train step donates params/extra, which would otherwise delete the
@@ -546,6 +602,10 @@ class Learner:
                     "epoch %d done in %.1fs: %s",
                     self.num_epoch, time.time() - ep_start, row,
                 )
+                if self._pending_resize:
+                    # mid-run elasticity: rebuild the mesh + step at the
+                    # epoch boundary (request_resize)
+                    train_step = self._apply_resize()
         except Exception as e:
             # reference logs on exception, then re-checks best-vs-last in a
             # finally block (trn_utils.py:851-867); here that re-check is
