@@ -213,7 +213,7 @@ def test_stem_packed_epilogue_odd_t_falls_back():
     from vidsitu_tpu.models.video_backbone import Stem, VideoCfg
 
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 32, 32, 3), jnp.float32)
-    stem = Stem(8, 5, VideoCfg())
+    stem = Stem(8, 5, VideoCfg(packed_stem_epilogue=True))
     v = stem.init(jax.random.PRNGKey(1), x, True)
     y = stem.apply(v, x, False)
     assert y.shape == (1, 2, 8, 8, 8)

@@ -139,6 +139,7 @@ def build_vb_model(cfg, comm):
         remat=cfg.train.remat, fuse_inference=_fuse_flag(cfg),
         remat_stages=cfg.train.remat_stages,
         bn_f32_stats=cfg.train.bn_f32_stats,
+        packed_stem_epilogue=cfg.tpu.packed_stem_epilogue,
     )
     return VbVideoModel(vid_cfg=vid_cfg, num_classes=len(comm.vb_id_vocab))
 
@@ -152,5 +153,6 @@ def build_feat_extractor(cfg):
         remat=cfg.train.remat, fuse_inference=_fuse_flag(cfg),
         remat_stages=cfg.train.remat_stages,
         bn_f32_stats=cfg.train.bn_f32_stats,
+        packed_stem_epilogue=cfg.tpu.packed_stem_epilogue,
     )
     return VbVideoModel(vid_cfg=vid_cfg, num_classes=0)

@@ -74,9 +74,13 @@ class VideoCfg:
     # instead of f32: ~15% per-ConvBN train-fwd saving measured isolated
     # (BENCH.md round 3), accuracy-gated — A/B end-to-end before use
     bn_f32_stats: bool = True
-    # inference fast-stem fused epilogue (Stem._packed_epilogue);
-    # bit-exact, escape hatch for debugging only
-    packed_stem_epilogue: bool = True
+    # inference fast-stem fused epilogue (Stem._packed_epilogue):
+    # bit-exact and faster ISOLATED (micro23: 28.4 -> 25.5 ms), but
+    # REGRESSES in-model (790 -> 773 clips/s at 120 — the dt-unpack of
+    # the pooled tensor lands worse next to s2 than the plain unpack's
+    # fusion pattern). Default OFF; togglable via tpu.packed_stem_epilogue
+    # for re-measurement on future stacks
+    packed_stem_epilogue: bool = False
     mean: tuple = (0.45, 0.45, 0.45)
     std: tuple = (0.225, 0.225, 0.225)
     # frames arriving on device are already channel-reversed host-side
@@ -96,7 +100,7 @@ class VideoCfg:
     @classmethod
     def from_cfg(cls, vid_mdl, dtype=jnp.float32, param_dtype=jnp.float32,
                  remat=False, fuse_inference=None, remat_stages="",
-                 bn_f32_stats=True):
+                 bn_f32_stats=True, packed_stem_epilogue=False):
         # remat_stages: "s2,s3" / "0,1" -> stage indices 0..3;
         # "stem"/"s1" -> -1 (checkpoint the stems: drops the stem conv's
         # batch-minor input-relayout copy from the persistent set)
@@ -136,6 +140,7 @@ class VideoCfg:
             remat=remat,
             remat_stages=tuple(stages),
             bn_f32_stats=bool(bn_f32_stats),
+            packed_stem_epilogue=bool(packed_stem_epilogue),
             mean=tuple(vid_mdl.mean),
             std=tuple(vid_mdl.std),
             reverse_input_channel=bool(vid_mdl.reverse_input_channel),
