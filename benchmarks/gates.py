@@ -14,7 +14,13 @@ Gates:
      buffer assignments on the round-3 axon stacks (BENCH.md "layout
      hazard"). Decision output: PASS -> the opt-in
      VIDSITU_PALLAS_BEAM_GATHER may be reconsidered; FAIL -> keep OFF.
-  3. (optional, --batch) featext batch optimum re-check around b=24.
+  3. featext lane-padding layout check (micro24 essence, compile-only):
+     the inference program is batch-minor on current stacks, so the
+     clip count pads to 128-lane multiples; the default operating
+     point sits just under the boundary. Decision output: FLIP ->
+     the layout policy changed (or the default crossed a padding
+     cliff); re-sweep the batch with --batch.
+  4. (optional, --batch) featext batch optimum re-check around b=24.
 
 Usage: python bench.py gates [--batch]   (real TPU)
 """
@@ -145,8 +151,61 @@ def gate_batch_optimum() -> dict:
     return {"rates": out, "best_clips": best_clips}
 
 
+def gate_lane_padding(clips: int = 120) -> dict:
+    """Compile-only (micro24 essence, no chip time): the featext program
+    is batch-minor almost everywhere on current stacks, so the batch
+    pads to 128-lane multiples — the production operating point is a
+    flat 128-clip stream at exactly zero waste (extract.py clip_batch;
+    the 10x landing). The gate probes at N=120 on purpose: counting
+    batch-minor buffers needs the batch dim to be distinguishable in
+    the HLO text, and 128 collides with common channel counts; the
+    layout-policy signal is identical. A stack that changes the policy
+    (batch-minor buffers vanish, or the probe's padding waste grows)
+    shows up here and should trigger a real batch re-sweep (--batch)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+
+    from vidsitu_tpu.models.vb_models import build_feat_extractor
+    from vidsitu_tpu.utils.config import get_cfg_with_overrides
+
+    cfg = get_cfg_with_overrides(
+        "gates", **{"mdl.sf_mdl_name": "slow_fast_nl_r50_8x8",
+                    "train.dtype": "bfloat16"})
+    model = build_feat_extractor(cfg)
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "frms_ev_fast_tensor": jax.random.normal(
+            rng, (clips, 32, 224, 224, 3), jnp.bfloat16),
+        "frms_ev_slow_tensor": jax.random.normal(
+            rng, (clips, 8, 224, 224, 3), jnp.bfloat16),
+    }
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(1), batch)
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), variables)
+    txt = jax.jit(
+        lambda b: model.apply(variables, b)["feats"]
+    ).lower(batch).compile().as_text()
+    pat = re.compile(
+        r"bf16\[(\d+)[^\]]*\]\{0,(?:\d+,)*\d+:T\(\d+,128\)[^}]*\}")
+    n_minor = sum(1 for m in pat.finditer(txt) if int(m.group(1)) == clips)
+    waste = (-(-clips // 128) * 128) / clips
+    flip = n_minor == 0 or waste > 1.15
+    print(f"[gate 3] lane padding at default {clips} clips: "
+          f"{n_minor} batch-minor buffers, pad waste {waste:.2f}x — " + (
+              "FLIP: layout policy changed or default past a cliff; "
+              "re-sweep with `bench.py gates --batch`" if flip else
+              "no-flip: default sits just under the 128-lane boundary"))
+    return {"batch_minor_bufs": n_minor, "pad_waste": round(waste, 3),
+            "flip": flip}
+
+
 def main(batch: bool = False) -> dict:
-    res = {"dma": gate_dma_floor(), "beam_gather": gate_beam_gather()}
+    res = {
+        "dma": gate_dma_floor(),
+        "beam_gather": gate_beam_gather(),
+        "lane_padding": gate_lane_padding(),
+    }
     if batch:
         res["batch"] = gate_batch_optimum()
     return res

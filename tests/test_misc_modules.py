@@ -304,7 +304,7 @@ def test_prep_dwn_vids_webm_fallback(tmp_path, monkeypatch, capsys):
 
     calls = []
 
-    def fake_download(seg, out_dir, fmt="22/best", retries=3):
+    def fake_download(seg, out_dir, fmt="22/best", retries=3, **kw):
         calls.append((seg, fmt))
         if seg == "v_bad_seg_0_10" and fmt != "webm":
             return None
@@ -351,7 +351,7 @@ def test_prep_setup_yaml_surface(tmp_path, monkeypatch, capsys):
 
     seen = []
 
-    def fake_download(seg, out_dir, fmt="22/best", retries=3):
+    def fake_download(seg, out_dir, fmt="22/best", retries=3, **kw):
         seen.append((seg, str(out_dir), retries))
         return Path(f"/fake/{seg}.mp4")
 

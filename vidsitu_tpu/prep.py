@@ -49,6 +49,7 @@ def download_clip(
     retries: int = 3,
     min_bytes: int = 20_000,
     fmt: str = "22/best",
+    cookies_file: str = "",
 ) -> Optional[Path]:
     """Download + trim one 10s segment (dwn_yt.py:150-211).
 
@@ -68,8 +69,11 @@ def download_clip(
     out_path = out_dir / f"{vid_seg}.mp4"
     for attempt in range(retries):
         try:
+            cookie_args = (
+                ["--cookies", cookies_file] if cookies_file else []
+            )  # reference dwn_yt.py:134-139
             url = subprocess.run(
-                ["yt-dlp", "-g", "-f", fmt,
+                ["yt-dlp", "-g", "-f", fmt, *cookie_args,
                  f"https://www.youtube.com/watch?v={ytid}"],
                 capture_output=True, text=True, timeout=120, check=True,
             ).stdout.strip().splitlines()[0]
@@ -159,6 +163,7 @@ _SETUP_KEY_MAP = {
     "max_processes": "max_workers",
     "split_dir": "split_dir",
     "retry_count": "retry_count",
+    "cookies_file": "cookies_file",
     "frame_cache_dir": "cache_dir",
 }
 
@@ -216,6 +221,8 @@ def main(argv=None):
     ap.add_argument("--out_hw", type=int, default=224)
     ap.add_argument("--max_workers", type=int, default=8)
     ap.add_argument("--retry_count", type=int, default=3)
+    ap.add_argument("--cookies_file", default="",
+                    help="yt-dlp --cookies file (reference dwn_yt surface)")
     ap.add_argument(
         "--decode_threads", type=int, default=1,
         help="C++ decode threads per segment (build_frame_cache); "
@@ -264,7 +271,8 @@ def main(argv=None):
     if args.task_type == "dwn_vids":
         res = run_pool(
             lambda s: download_clip(s, args.video_dir,
-                                    retries=args.retry_count),
+                                    retries=args.retry_count,
+                                    cookies_file=args.cookies_file),
             segs, max_workers=args.max_workers,
         )
         # second pass over failures with format=webm, like the
@@ -273,7 +281,8 @@ def main(argv=None):
         if failed:
             res.update(run_pool(
                 lambda s: download_clip(s, args.video_dir, fmt="webm",
-                                        retries=args.retry_count),
+                                        retries=args.retry_count,
+                                        cookies_file=args.cookies_file),
                 failed, max_workers=args.max_workers,
             ))
         ok = sum(1 for v in res.values() if isinstance(v, Path))

@@ -363,6 +363,11 @@ class Learner:
         Returns the new train_step. In-process only: the device pool is
         jax.devices() as initialized."""
         n, self._pending_resize = self._pending_resize, None
+        assert jax.process_count() <= 1, (
+            "mid-run resize is single-process (in-process device pool); "
+            "for process-count changes use the topology-free checkpoint "
+            "restart (tests/test_elastic_resume.py)"
+        )
         devices = jax.devices()[:n]
         assert len(devices) == n, (
             f"elastic resize to {n} devices, but only "
