@@ -28,9 +28,13 @@ import time
 GPU_BASELINE_CLIPS_PER_SEC = 80.0
 
 
-def bench_slowfast_featext(clips: int = 120, iters: int = 10) -> dict:
-    """Batch sweep on v5e (bf16): b=3 -> 211.8, b=6 -> 310.8, b=12 ->
-    442.4, b=24 -> 670.0, b=48 -> 642.3 clips/s; default = best batch."""
+def bench_slowfast_featext(clips: int = 128, iters: int = 10) -> dict:
+    """Clip-count sweep on v5e (bf16): 15 -> 211.8, 30 -> 310.8, 60 ->
+    442.4, 120 -> 790.4, 128 -> 810.9, 140 -> 587, 240 -> 642.3 clips/s;
+    default 128 = the zero-lane-padding operating point (the program is
+    batch-minor, so the clip dim pads to 128-lane multiples; BENCH.md +
+    benchmarks/micro24/micro25). The production extractor feeds the same
+    flat 128-clip stream (extract.py clip_batch)."""
     import jax
     import jax.numpy as jnp
 
@@ -48,15 +52,20 @@ def bench_slowfast_featext(clips: int = 120, iters: int = 10) -> dict:
 
     rng = jax.random.PRNGKey(0)
     # 5-event fold happens HOST-side (data/loader.fold_frame_events, a
-    # free numpy view): the device program receives 5-D (B*5, T, H, W, C)
-    # frames — the in-graph (B,5,...)->(B*5,...) reshape materializes an
-    # ~11 ms copy at this size (benchmarks/micro20)
-    b = max(clips // 5, 1)
-    fast = jax.random.normal(rng, (b * 5, 32, 224, 224, 3), jnp.bfloat16)
-    slow = jax.random.normal(rng, (b * 5, 8, 224, 224, 3), jnp.bfloat16)
+    # free numpy view): the device program receives a flat 5-D
+    # (N, T, H, W, C) clip stream — the in-graph (B,5,...)->(B*5,...)
+    # reshape materializes an ~11 ms copy at this size (micro20) — and
+    # N need not be a multiple of 5 (the (5, D) per-video regroup is a
+    # free host-side reshape after the fetch, extract.py)
+    from vidsitu_tpu.models.vb_models import VbVideoModel
+
+    fast = jax.random.normal(rng, (clips, 32, 224, 224, 3), jnp.bfloat16)
+    slow = jax.random.normal(rng, (clips, 8, 224, 224, 3), jnp.bfloat16)
     batch = {"frms_ev_fast_tensor": fast, "frms_ev_slow_tensor": slow}
 
-    variables = jax.jit(model.init)(jax.random.PRNGKey(1), batch)
+    variables = jax.jit(
+        lambda r, b: model.init(r, b, method=VbVideoModel.clip_features)
+    )(jax.random.PRNGKey(1), batch)
 
     # Chain iterations inside ONE jitted call: the tunneled runtime makes
     # per-dispatch host timing meaningless (async queue + relay RTT), and a
@@ -75,12 +84,13 @@ def bench_slowfast_featext(clips: int = 120, iters: int = 10) -> dict:
                 "frms_ev_fast_tensor": x["frms_ev_fast_tensor"] + carry,
                 "frms_ev_slow_tensor": x["frms_ev_slow_tensor"] + carry,
             }
-            f = model.apply(variables, inp)["feats"]
+            f = model.apply(variables, inp,
+                            method=VbVideoModel.clip_features)
             return (f.mean() * 1e-9).astype(jnp.bfloat16)
 
         return jax.lax.fori_loop(0, n, body, jnp.bfloat16(0))
 
-    n_clips = b * 5
+    n_clips = clips
     float(run(batch, iters))  # compile once
     # measure the host-fetch round trip to subtract it (one tiny compile)
     trivial = jax.jit(lambda: jnp.zeros((), jnp.bfloat16))

@@ -172,6 +172,29 @@ def test_extract_features_roundtrip(env, tmp_path):
     assert get_head_dim(cfg2) == 2304
 
 
+def test_extract_clip_stream_spanning(env, tmp_path):
+    """The flat clip stream regroups (5, D) per segment exactly even
+    when device batches cut across video boundaries: clip_batch=7
+    forces every video's 5 clips to span dispatches (7 % 5 != 0), and
+    the tail batch exercises the zero-pad path. Results must match a
+    single-dispatch run (clip_batch large) per segment."""
+    from vidsitu_tpu.extract import extract_features
+
+    cfg = mk(env)
+    comm = build_comm(cfg)
+    out_a = tmp_path / "span7"
+    out_b = tmp_path / "onebatch"
+    counts = extract_features(cfg, comm, splits=["valid"], out_dir=out_a,
+                              batch_size=3, clip_batch=7)
+    assert counts["valid"] == 4
+    extract_features(cfg, comm, splits=["valid"], out_dir=out_b,
+                     batch_size=4, clip_batch=64)
+    for f in sorted(out_a.glob("*_feats.npy")):
+        a, b = np.load(f), np.load(out_b / f.name)
+        assert a.shape == b.shape == (5, a.shape[1])
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
 def test_on_device_preproc_equivalence(env):
     """uint8 frames + on-device normalize == host-normalized float path."""
     cfg_f = mk(env)

@@ -16,7 +16,6 @@ import numpy as np
 
 from .data.dataset import VsituDS
 from .data.loader import DataLoader, fold_frame_events
-from .models.selector import init_model_variables
 from .models.vb_models import build_feat_extractor
 
 
@@ -57,8 +56,22 @@ def extract_features(
     batch_size: int = 4,
     num_threads: int = 0,
     mdl_name: Optional[str] = None,
+    clip_batch: int = 128,
 ) -> Dict[str, int]:
     """Extract features for the given splits. Returns counts per split.
+
+    The device consumes a FLAT clip stream in batches of exactly
+    ``clip_batch`` clips (default 128): the whole inference program is
+    batch-minor on current stacks, so the clip dim pads to 128-lane
+    multiples, and 128 clips — zero padding waste, power-of-2 tiling —
+    measures 810.9 vs 790.6 clips/s at the 120-clip video-granularity
+    point (benchmarks/micro25; BENCH.md featext chapter). Videos load
+    at ``batch_size`` granularity, the 5-event fold is a free host
+    view, clips buffer until a full device batch is ready, and the
+    (5, D) per-segment regroup happens host-side after the fetch (each
+    segment's 5 clips are consecutive in stream order even when they
+    span device batches). The final partial batch is zero-padded to
+    ``clip_batch`` so the whole run uses ONE compiled executable.
 
     The input pipeline overlaps with device compute: JPEG decode runs in
     the loader's thread pool (``num_threads``), the next batch's
@@ -67,6 +80,9 @@ def extract_features(
     device works (dispatch is async, the np.asarray fetch synchronizes).
     """
     import os
+    from collections import deque
+
+    from .models.vb_models import VbVideoModel
 
     splits = splits or ["valid", "train"]
     out_dir = Path(out_dir) if out_dir else default_feats_dir(cfg, mdl_name)
@@ -85,7 +101,8 @@ def extract_features(
 
     def fwd(v, b):
         if not _fwd_cache:
-            _fwd_cache[0] = jax.jit(lambda bb: model.apply(v, bb)["feats"])
+            _fwd_cache[0] = jax.jit(lambda bb: model.apply(
+                v, bb, method=VbVideoModel.clip_features))
         return _fwd_cache[0](b)
     # multi-host: shard segments across processes (featext is
     # embarrassingly parallel; without this every host would re-extract
@@ -98,40 +115,100 @@ def extract_features(
                         drop_last=False, num_threads=num_threads,
                         num_shards=num_shards, shard_id=shard_id)
         n = 0
-        pending = None  # (device feats, host vseg_idx) one step behind
+        parts: List[Dict[str, np.ndarray]] = []  # buffered folded clips
+        n_buf = 0
+        keys: List[str] = []
+        vid_queue: deque = deque()  # vseg indices in stream order
+        row_buf: Optional[np.ndarray] = None  # <5 rows spanning flushes
+        pending = None  # (device feats, n_valid) one step behind
+
+        def write_seg(seg: str, arr: np.ndarray):
+            nonlocal n
+            # tmp + atomic rename: a crash (or, across hosts, the
+            # sampler's pad duplicates) must never leave a torn
+            # .npy that downstream training silently loads
+            tmp = out_dir / f".{seg}_feats.{os.getpid()}.npy.tmp"
+            with open(tmp, "wb") as f:  # np.save(path) would append .npy
+                np.save(f, arr)
+            os.replace(tmp, out_dir / f"{seg}_feats.npy")
+            n += 1
 
         def flush(item):
-            nonlocal n
-            feats, idxs = item
+            nonlocal row_buf
+            out, n_valid = item
             # sync point; cast: a bfloat16 model body would otherwise
             # serialize raw-void ('|V2') npys that downstream np.load
             # can't interpret — the feature-file contract is float32
             # (reference feat_extractor.py saves f32)
-            feats = np.asarray(feats).astype(np.float32, copy=False)
-            for bix in range(feats.shape[0]):
-                seg = ds.vseg_lst[int(idxs[bix])]
-                # tmp + atomic rename: a crash (or, across hosts, the
-                # sampler's pad duplicates) must never leave a torn
-                # .npy that downstream training silently loads
-                tmp = out_dir / f".{seg}_feats.{os.getpid()}.npy.tmp"
-                with open(tmp, "wb") as f:  # np.save(path) would append .npy
-                    np.save(f, feats[bix])
-                os.replace(tmp, out_dir / f"{seg}_feats.npy")
-                n += 1
+            feats = np.asarray(out).astype(np.float32, copy=False)[:n_valid]
+            rows = (feats if row_buf is None or not len(row_buf)
+                    else np.concatenate([row_buf, feats]))
+            k = rows.shape[0] // 5
+            for i in range(k):
+                seg = ds.vseg_lst[vid_queue.popleft()]
+                write_seg(seg, rows[5 * i:5 * i + 5])
+            row_buf = rows[5 * k:]
 
-        for batch in dl:
+        def pop_clip_batch(n_take: int) -> Dict[str, np.ndarray]:
+            nonlocal n_buf
+            taken: Dict[str, list] = {k: [] for k in keys}
+            got = 0
+            while got < n_take:
+                part = parts[0]
+                avail = part[keys[0]].shape[0]
+                take = min(n_take - got, avail)
+                for k in keys:
+                    taken[k].append(part[k][:take])
+                if take == avail:
+                    parts.pop(0)
+                else:
+                    for k in keys:
+                        part[k] = part[k][take:]  # view, no copy
+                got += take
+            n_buf -= n_take
+            return {k: (v[0] if len(v) == 1 else np.concatenate(v))
+                    for k, v in taken.items()}
+
+        def dispatch(dev_np: Dict[str, np.ndarray], n_valid: int):
+            nonlocal variables, pending
             if variables is None:
-                variables = init_model_variables(model, batch)
-            # host-side event fold: ship 5-D frames, avoiding the
-            # in-graph fold copy (data/loader.fold_frame_events)
-            dev = {k: jnp.asarray(v)
-                   for k, v in fold_frame_events(batch).items()}
+                dev0 = {k: jnp.asarray(v) for k, v in dev_np.items()}
+                variables = jax.jit(lambda r, b: model.init(
+                    r, b, method=VbVideoModel.clip_features)
+                )(jax.random.PRNGKey(0), dev0)
+                dev = dev0
+            else:
+                dev = {k: jnp.asarray(v) for k, v in dev_np.items()}
             out = fwd(variables, dev)  # async dispatch
             if pending is not None:
                 flush(pending)
-            pending = (out, batch["vseg_idx"])
+            pending = (out, n_valid)
+
+        for batch in dl:
+            folded = fold_frame_events(batch)
+            if not keys:
+                keys = [k for k in
+                        ("frms_ev_fast_tensor", "frms_ev_slow_tensor")
+                        if folded.get(k) is not None]
+            parts.append({k: np.asarray(folded[k]) for k in keys})
+            n_buf += parts[-1][keys[0]].shape[0]
+            vid_queue.extend(int(i) for i in np.asarray(batch["vseg_idx"]))
+            while n_buf >= clip_batch:
+                dispatch(pop_clip_batch(clip_batch), clip_batch)
+        if n_buf:
+            tail = pop_clip_batch(n_buf)
+            pad = clip_batch - tail[keys[0]].shape[0]
+            tail = {k: np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                for k, v in tail.items()}
+            dispatch(tail, clip_batch - pad)
         if pending is not None:
             flush(pending)
+        assert not vid_queue and (row_buf is None or not len(row_buf)), (
+            "clip-stream regroup invariant broken: leftover "
+            f"{len(vid_queue)} videos / "
+            f"{0 if row_buf is None else len(row_buf)} rows"
+        )
         counts[split] = n
     return counts
 
@@ -156,6 +233,10 @@ def main(argv=None):
              "feat_extractor.py main arg; default: cfg.mdl.sf_mdl_name)",
     )
     ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument(
+        "--clip_batch", type=int, default=128,
+        help="device batch in CLIPS (flat 5-event stream); 128 = zero "
+             "128-lane padding waste on batch-minor stacks (BENCH.md)")
     ap.add_argument("--num_threads", type=int, default=8,
                     help="JPEG-decode thread pool size")
     ap.add_argument("--ckpt", default="", help="converted SFBase checkpoint")
@@ -199,6 +280,7 @@ def main(argv=None):
         splits=args.split or ["valid", "train"],
         out_dir=args.out_dir, batch_size=args.batch_size,
         num_threads=args.num_threads, mdl_name=args.mdl_name_used,
+        clip_batch=args.clip_batch,
     )
     print(counts)
 

@@ -78,8 +78,16 @@ class VbVideoModel(nn.Module):
                 name="proj_head",
             )
 
-    def features(self, inp: Dict[str, jnp.ndarray], train: bool = False):
-        """(B, 5, D) pooled clip features (forward_encoder + head)."""
+    def clip_features(self, inp: Dict[str, jnp.ndarray],
+                      train: bool = False):
+        """(N, D) pooled per-clip features; N need NOT be a multiple
+        of 5. The production extractor feeds a FLAT clip stream in
+        batches of exactly 128 clips and regroups (5, D) per video on
+        the host: the whole inference program is batch-minor on current
+        stacks (BENCH.md), so the clip dim pads to 128-lane multiples,
+        and N=128 — zero padding waste, power-of-2 tiling — measures
+        810.9 vs 790.6 clips/s at the N=120 video-granularity point
+        (benchmarks/micro25)."""
         # fold first: on the 6-D fallback path the fold is a materialized
         # copy (see _fold_events), 4x cheaper on uint8 than on bf16
         fast = _maybe_normalize(
@@ -96,6 +104,11 @@ class VbVideoModel(nn.Module):
         else:
             feat = self.backbone(fast, train)
             pooled = trimmed_head([feat])
+        return pooled
+
+    def features(self, inp: Dict[str, jnp.ndarray], train: bool = False):
+        """(B, 5, D) pooled clip features (forward_encoder + head)."""
+        pooled = self.clip_features(inp, train)
         b5, d = pooled.shape
         return pooled.reshape(b5 // 5, 5, d)
 
