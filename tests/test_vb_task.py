@@ -195,6 +195,32 @@ def test_extract_clip_stream_spanning(env, tmp_path):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
 
 
+def test_extract_clip_stream_multihost_shards(env, tmp_path, monkeypatch):
+    """Clip-stream extraction under multi-process segment sharding:
+    3 shards over 4 segments forces the sampler's pad duplicates
+    (ceil(4/3)=2 per shard -> 2 repeats), which must only re-write the
+    same file atomically. Union of shard outputs == the full split."""
+    from vidsitu_tpu.extract import extract_features
+
+    cfg = mk(env)
+    comm = build_comm(cfg)
+    out_dir = tmp_path / "sharded"
+    for rank in range(3):
+        monkeypatch.setattr(jax, "process_count", lambda: 3)
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        extract_features(cfg, comm, splits=["valid"], out_dir=out_dir,
+                         batch_size=2, clip_batch=7)
+    monkeypatch.undo()
+    files = sorted(out_dir.glob("*_feats.npy"))
+    assert len(files) == 4
+    ref_dir = tmp_path / "single"
+    extract_features(cfg, comm, splits=["valid"], out_dir=ref_dir,
+                     batch_size=4, clip_batch=64)
+    for f in files:
+        np.testing.assert_allclose(
+            np.load(f), np.load(ref_dir / f.name), rtol=2e-5, atol=2e-5)
+
+
 def test_on_device_preproc_equivalence(env):
     """uint8 frames + on-device normalize == host-normalized float path."""
     cfg_f = mk(env)

@@ -84,6 +84,7 @@ def extract_features(
 
     from .models.vb_models import VbVideoModel
 
+    assert clip_batch >= 1, f"clip_batch must be >= 1, got {clip_batch}"
     splits = splits or ["valid", "train"]
     out_dir = Path(out_dir) if out_dir else default_feats_dir(cfg, mdl_name)
     out_dir.mkdir(parents=True, exist_ok=True)
