@@ -195,6 +195,29 @@ def test_extract_clip_stream_spanning(env, tmp_path):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
 
 
+def test_extract_clip_stream_device_mesh(env, tmp_path):
+    """n_devices=4 shards the flat clip stream over a local data mesh
+    (global device batch = 4 * clip_batch); features must match the
+    single-device run per segment, including through the zero-padded
+    tail (20 clips into a global batch of 4*6=24)."""
+    from vidsitu_tpu.extract import extract_features
+
+    cfg = mk(env)
+    comm = build_comm(cfg)
+    out_m = tmp_path / "mesh4"
+    counts = extract_features(cfg, comm, splits=["valid"], out_dir=out_m,
+                              batch_size=3, clip_batch=6, n_devices=4)
+    assert counts["valid"] == 4
+    out_s = tmp_path / "single_dev"
+    extract_features(cfg, comm, splits=["valid"], out_dir=out_s,
+                     batch_size=4, clip_batch=64, n_devices=1)
+    files = sorted(out_m.glob("*_feats.npy"))
+    assert len(files) == 4
+    for f in files:
+        np.testing.assert_allclose(
+            np.load(f), np.load(out_s / f.name), rtol=2e-5, atol=2e-5)
+
+
 def test_extract_clip_stream_multihost_shards(env, tmp_path, monkeypatch):
     """Clip-stream extraction under multi-process segment sharding:
     3 shards over 4 segments forces the sampler's pad duplicates

@@ -57,6 +57,7 @@ def extract_features(
     num_threads: int = 0,
     mdl_name: Optional[str] = None,
     clip_batch: int = 128,
+    n_devices: int = 1,
 ) -> Dict[str, int]:
     """Extract features for the given splits. Returns counts per split.
 
@@ -73,6 +74,15 @@ def extract_features(
     span device batches). The final partial batch is zero-padded to
     ``clip_batch`` so the whole run uses ONE compiled executable.
 
+    With ``n_devices > 1`` (or 0 = all local devices) the clip axis is
+    additionally sharded over a local ``Mesh(('data',))`` — each device
+    computes its own ``clip_batch`` clips, so one host drives all of a
+    v5e's chips from the same flat stream (the global device batch is
+    ``clip_batch * n_devices``). Params are replicated; per-clip
+    inference needs no collectives. This composes with the multi-host
+    process sharding below (hosts split segments, each host's chips
+    split its clip stream).
+
     The input pipeline overlaps with device compute: JPEG decode runs in
     the loader's thread pool (``num_threads``), the next batch's
     host->device transfer is started while the current batch computes,
@@ -85,6 +95,20 @@ def extract_features(
     from .models.vb_models import VbVideoModel
 
     assert clip_batch >= 1, f"clip_batch must be >= 1, got {clip_batch}"
+    ndev = n_devices if n_devices >= 1 else len(jax.local_devices())
+    assert ndev <= len(jax.local_devices()), (
+        f"n_devices={ndev} but only {len(jax.local_devices())} local "
+        "devices are visible")
+    clip_shard = repl = None
+    if ndev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        mesh = Mesh(np.asarray(jax.local_devices()[:ndev]), ("data",))
+        clip_shard = NamedSharding(mesh, PartitionSpec("data"))
+        repl = NamedSharding(mesh, PartitionSpec())
+        if variables is not None:
+            variables = jax.device_put(variables, repl)
+    global_clip_batch = clip_batch * ndev
     splits = splits or ["valid", "train"]
     out_dir = Path(out_dir) if out_dir else default_feats_dir(cfg, mdl_name)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -173,11 +197,18 @@ def extract_features(
         def dispatch(dev_np: Dict[str, np.ndarray], n_valid: int):
             nonlocal variables, pending
             if variables is None:
-                dev0 = {k: jnp.asarray(v) for k, v in dev_np.items()}
+                # init on a 1-clip slice: params are batch-independent,
+                # and at ndev>1 the full global batch must never land on
+                # one device
+                one = {k: jnp.asarray(v[:1]) for k, v in dev_np.items()}
                 variables = jax.jit(lambda r, b: model.init(
                     r, b, method=VbVideoModel.clip_features)
-                )(jax.random.PRNGKey(0), dev0)
-                dev = dev0
+                )(jax.random.PRNGKey(0), one)
+                if repl is not None:
+                    variables = jax.device_put(variables, repl)
+            if clip_shard is not None:
+                dev = {k: jax.device_put(v, clip_shard)
+                       for k, v in dev_np.items()}
             else:
                 dev = {k: jnp.asarray(v) for k, v in dev_np.items()}
             out = fwd(variables, dev)  # async dispatch
@@ -194,15 +225,16 @@ def extract_features(
             parts.append({k: np.asarray(folded[k]) for k in keys})
             n_buf += parts[-1][keys[0]].shape[0]
             vid_queue.extend(int(i) for i in np.asarray(batch["vseg_idx"]))
-            while n_buf >= clip_batch:
-                dispatch(pop_clip_batch(clip_batch), clip_batch)
+            while n_buf >= global_clip_batch:
+                dispatch(pop_clip_batch(global_clip_batch),
+                         global_clip_batch)
         if n_buf:
             tail = pop_clip_batch(n_buf)
-            pad = clip_batch - tail[keys[0]].shape[0]
+            pad = global_clip_batch - tail[keys[0]].shape[0]
             tail = {k: np.concatenate(
                 [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
                 for k, v in tail.items()}
-            dispatch(tail, clip_batch - pad)
+            dispatch(tail, global_clip_batch - pad)
         if pending is not None:
             flush(pending)
         assert not vid_queue and (row_buf is None or not len(row_buf)), (
@@ -236,8 +268,13 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=4)
     ap.add_argument(
         "--clip_batch", type=int, default=128,
-        help="device batch in CLIPS (flat 5-event stream); 128 = zero "
-             "128-lane padding waste on batch-minor stacks (BENCH.md)")
+        help="PER-DEVICE batch in CLIPS (flat 5-event stream); 128 = "
+             "zero 128-lane padding waste on batch-minor stacks "
+             "(BENCH.md)")
+    ap.add_argument(
+        "--n_devices", type=int, default=0,
+        help="local chips to shard the clip stream over (0 = all); "
+             "composes with multi-host segment sharding")
     ap.add_argument("--num_threads", type=int, default=8,
                     help="JPEG-decode thread pool size")
     ap.add_argument("--ckpt", default="", help="converted SFBase checkpoint")
@@ -281,7 +318,7 @@ def main(argv=None):
         splits=args.split or ["valid", "train"],
         out_dir=args.out_dir, batch_size=args.batch_size,
         num_threads=args.num_threads, mdl_name=args.mdl_name_used,
-        clip_batch=args.clip_batch,
+        clip_batch=args.clip_batch, n_devices=args.n_devices,
     )
     print(counts)
 
