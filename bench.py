@@ -234,7 +234,7 @@ def bench_host_feed(segments: int = 4, iters: int = 3) -> dict:
     decoded-uint8 frame-cache clips/s at the real 224p geometry.
 
     Quantifies the feed gap behind the featext device rate: the device
-    consumes ~696 clips/s (~13 GB/s decoded frames); this prints what
+    consumes ~810 clips/s (~15 GB/s decoded frames); this prints what
     THIS host can feed by decoding JPEGs every epoch (the reference's
     strategy, dat_loader.py:454-475) vs reading the one-time cache
     (data/frames.write_segment_cache)."""
