@@ -123,7 +123,8 @@ def gate_beam_gather() -> dict:
 
 
 def gate_batch_optimum() -> dict:
-    """Quick featext batch re-check around the landed b=24 optimum."""
+    """Quick featext clip-count re-check around the landed 128-clip
+    operating point (flat clip stream, zero 128-lane padding waste)."""
     import json
     import os
     import subprocess
@@ -133,7 +134,7 @@ def gate_batch_optimum() -> dict:
     repo = Path(__file__).resolve().parent.parent
     best, best_clips = None, None
     out = {}
-    for clips in (100, 120, 140):
+    for clips in (120, 128, 140):
         p = subprocess.run(
             [sys.executable, "bench.py", "featext", str(clips)],
             cwd=repo, env=dict(os.environ), capture_output=True,
@@ -142,12 +143,12 @@ def gate_batch_optimum() -> dict:
         lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
         val = json.loads(lines[-1])["value"] if lines else 0.0
         out[clips] = val
-        print(f"[gate 3] featext clips={clips}: {val:.1f} clips/s")
+        print(f"[gate 4] featext clips={clips}: {val:.1f} clips/s")
         if best is None or val > best:
             best, best_clips = val, clips
-    print(f"[gate 3] optimum: {best_clips} clips ({best:.1f}); landed "
-          "default is 120 — " + (
-              "no-flip" if best_clips == 120 else "FLIP: retune bench.py"))
+    print(f"[gate 4] optimum: {best_clips} clips ({best:.1f}); landed "
+          "default is 128 — " + (
+              "no-flip" if best_clips == 128 else "FLIP: retune bench.py"))
     return {"rates": out, "best_clips": best_clips}
 
 
