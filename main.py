@@ -67,6 +67,11 @@ def main_fn(cfg, uid: str):
             split_type="valid" if not cfg.only_test else "test_srl",
             rank=jax.process_index(), world_size=jax.process_count(),
             mesh=mesh,
+            # mid-run elasticity (learner.request_resize): lets the
+            # evaluator rebuild the decode fn over the resized mesh
+            gen_builder=lambda m: build_srl_generate_fn(
+                cfg, comm, model, mesh=m
+            ),
         )
     elif cfg.task_type == "vb":
         from vidsitu_tpu.evaluation.evaluators import EvalB

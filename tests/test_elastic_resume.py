@@ -143,6 +143,9 @@ def test_midrun_resize(env):
     la.request_resize(4)  # applied after epoch 1 completes
     la.fit(2, 1e-3)
     assert dict(la.mesh.shape) == {"data": 4}
+    # the evaluator retargeted too (epoch 2's validation already ran
+    # over the resized mesh inside fit)
+    assert la.eval_fn.mesh is la.mesh
     assert "elastic resize" in la.txt_log_file.read_text()
 
     lb = _make_learner(mk(env, "rsz_b"), _mesh8())

@@ -166,3 +166,40 @@ def test_evrel_train_eval_end_to_end(env):
     assert len(preds[0]["pred_evrels_ev"]) == 4
     assert len(preds[0]["pred_evrels_ev"][0]) == 3  # 3 valid annotators
     assert preds[0]["pred_evrels_ev"][0][0] in comm.evrel_dct
+
+
+def test_evalb_acc_rebind_mesh_matches(env, tmp_path):
+    """rebind_mesh (mid-run elasticity, learner._apply_resize) must make
+    EvalB_Acc produce the identical val_loss/accuracy/pkl as an evaluator
+    BUILT on the target mesh."""
+    import pickle
+
+    from jax.sharding import Mesh
+
+    from vidsitu_tpu.data import get_data
+
+    cfg = mk(env, "rob_evrel")
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    model = build_model(cfg, comm)
+    batch = next(iter(data.train_dl))
+    variables = init_model_variables(model, batch)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+
+    ev = EvalB_Acc(cfg, comm, model)  # un-meshed construction
+    ev.rebind_mesh(mesh)
+    assert ev.mesh is mesh
+    p1 = tmp_path / "rebound"
+    p1.mkdir()
+    loss1, acc1 = ev(variables, data.valid_dl, "valid", p1)
+
+    ev2 = EvalB_Acc(cfg, comm, model, mesh=mesh)  # built on the mesh
+    p2 = tmp_path / "direct"
+    p2.mkdir()
+    loss2, acc2 = ev2(variables, data.valid_dl, "valid", p2)
+
+    assert abs(loss1["loss"] - loss2["loss"]) < 1e-6
+    assert acc1 == acc2
+    preds1 = pickle.load(open(p1 / "valid_0.pkl", "rb"))
+    preds2 = pickle.load(open(p2 / "valid_0.pkl", "rb"))
+    assert preds1 == preds2

@@ -383,6 +383,47 @@ def test_eval_sharded_equals_single_device(env, tmp_path):
     np.testing.assert_allclose(l1["loss"], l8["loss"], rtol=1e-5)
 
 
+def test_eval_rebind_mesh_matches(env, tmp_path):
+    """rebind_mesh (mid-run elasticity, learner._apply_resize) retargets
+    an evaluator's cached jits at a new mesh; a rebound evaluator must
+    produce the identical prediction pkl as one BUILT on that mesh."""
+    import pickle
+
+    from vidsitu_tpu.models.selector import build_srl_generate_fn
+    from vidsitu_tpu.parallel.mesh import make_mesh
+
+    cfg = mk(env, "evrebind")
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    model = build_model(cfg, comm)
+    batch = next(iter(data.train_dl))
+    variables = init_model_variables(model, batch, seed=9)
+    mesh = make_mesh(cfg)
+
+    # built un-meshed with a gen_builder, then rebound to the mesh
+    ev = EvalB_Gen(
+        cfg, comm, build_srl_generate_fn(cfg, comm, model),
+        gen_builder=lambda m: build_srl_generate_fn(cfg, comm, model, mesh=m),
+    )
+    ev.rebind_mesh(mesh)
+    assert ev.mesh is mesh
+    pdir = tmp_path / "rebound"
+    pdir.mkdir()
+    ev(variables, data.valid_dl, "valid", pdir)
+    preds_rebound = pickle.load(open(pdir / "valid_0.pkl", "rb"))
+
+    # reference: constructed directly on the mesh
+    ev2 = EvalB_Gen(
+        cfg, comm, build_srl_generate_fn(cfg, comm, model, mesh=mesh),
+        mesh=mesh,
+    )
+    pdir2 = tmp_path / "direct"
+    pdir2.mkdir()
+    ev2(variables, data.valid_dl, "valid", pdir2)
+    preds_direct = pickle.load(open(pdir2 / "valid_0.pkl", "rb"))
+    assert preds_rebound == preds_direct
+
+
 def test_fsdp_equals_single_device(env):
     """(2 data x 4 fsdp) mesh training == single-device training: the
     ZeRO-3-style param/moment sharding must be numerically transparent."""

@@ -367,3 +367,36 @@ def test_bn_bf16_stats_knob_runs(env):
         )
         losses[f32] = float(out["loss"])
     assert abs(losses[True] - losses[False]) < 0.05 * abs(losses[True]) + 1e-3
+
+
+def test_evalb_rebind_mesh_matches(env, tmp_path):
+    """rebind_mesh (mid-run elasticity) must make EvalB produce the same
+    metrics/pkl as an evaluator built directly on the target mesh."""
+    import pickle
+
+    from jax.sharding import Mesh
+
+    cfg = mk(env)
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    model = build_model(cfg, comm)
+    batch = next(iter(data.train_dl))
+    variables = init_model_variables(model, batch, seed=13)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+
+    ev = EvalB(cfg, comm, model)  # un-meshed construction
+    ev.rebind_mesh(mesh)
+    assert ev.mesh is mesh
+    p1 = tmp_path / "rebound"
+    p1.mkdir()
+    out1 = ev(variables, data.valid_dl, "valid", p1)
+
+    ev2 = EvalB(cfg, comm, model, mesh=mesh)  # built on the mesh
+    p2 = tmp_path / "direct"
+    p2.mkdir()
+    out2 = ev2(variables, data.valid_dl, "valid", p2)
+
+    assert out1 == out2
+    preds1 = pickle.load(open(p1 / "valid_0.pkl", "rb"))
+    preds2 = pickle.load(open(p2 / "valid_0.pkl", "rb"))
+    assert preds1 == preds2

@@ -85,6 +85,15 @@ class _BaseEvaluator:
 
         return to_device(padded, self.mesh)
 
+    def rebind_mesh(self, mesh):
+        """Mid-run elasticity (learner.request_resize): point this
+        evaluator at the resized mesh so validation stops touching
+        devices the run shrank away from (and uses devices it grew
+        into). The base class swaps the mesh used for batch placement;
+        subclasses also rebuild their cached jitted closures, which
+        captured the OLD mesh's shardings at construction."""
+        self.mesh = mesh
+
     def run_model(self, variables, batch):
         raise NotImplementedError
 
@@ -243,7 +252,16 @@ class EvalB(_BaseEvaluator):
                  rank: int = 0, world_size: int = 1, mesh=None):
         super().__init__(cfg, comm, split_type, rank, world_size, mesh)
         self.evl_met = EvlFn_Vb(cfg, comm, self.met_keys)
-        self.forward = self._jit(lambda v, b: model.apply(v, b)["mdl_out"])
+        self._model = model
+        self.forward = self._jit(
+            lambda v, b: self._model.apply(v, b)["mdl_out"]
+        )
+
+    def rebind_mesh(self, mesh):
+        super().rebind_mesh(mesh)
+        self.forward = self._jit(
+            lambda v, b: self._model.apply(v, b)["mdl_out"]
+        )
 
     def run_model(self, variables, batch):
         return np.asarray(self.forward(variables, batch))
@@ -285,8 +303,8 @@ class EvalB_Acc(_BaseEvaluator):
                  rank: int = 0, world_size: int = 1, mesh=None):
         super().__init__(cfg, comm, split_type, rank, world_size, mesh)
         self.evl_met = EvlFn_EvRel(cfg, comm, self.met_keys)
-        self.forward = self._jit(lambda v, b: model.apply(v, b)["mdl_out"])
-        self._loss_fwd = self._jit(lambda v, b: model.apply(v, b)["loss"])
+        self._model = model
+        self._build_forwards()
         # plain jit (no mesh shardings) for partial final batches: their
         # size need not divide the devices; compiles once per remainder
         # shape (at most one distinct remainder per split)
@@ -295,6 +313,18 @@ class EvalB_Acc(_BaseEvaluator):
         self._loss_fwd_raw = _jax.jit(
             lambda v, b: model.apply(v, b)["loss"]
         )
+
+    def _build_forwards(self):
+        self.forward = self._jit(
+            lambda v, b: self._model.apply(v, b)["mdl_out"]
+        )
+        self._loss_fwd = self._jit(
+            lambda v, b: self._model.apply(v, b)["loss"]
+        )
+
+    def rebind_mesh(self, mesh):
+        super().rebind_mesh(mesh)
+        self._build_forwards()  # _loss_fwd_raw is un-meshed: keep it
 
     def run_loss(self, variables, batch) -> float:
         return float(self._loss_fwd(variables, batch))
@@ -345,12 +375,34 @@ class EvalB_Gen(_BaseEvaluator):
     met_keys = ["cider", "rouge", "lea", "MacroVb_cider", "MacroArg_cider"]
 
     def __init__(self, cfg, comm, generate_fn, split_type: str = "valid",
-                 rank: int = 0, world_size: int = 1, mesh=None):
+                 rank: int = 0, world_size: int = 1, mesh=None,
+                 gen_builder=None):
         super().__init__(cfg, comm, split_type, rank, world_size, mesh)
         self.generate_fn = generate_fn
+        # mid-run elasticity: the generate_fn was built OUTSIDE with the
+        # mesh baked in (selector.build_srl_generate_fn), so this
+        # evaluator cannot rebuild it by itself — callers that want
+        # rebind_mesh to retarget decoding pass ``gen_builder``:
+        # a ``mesh -> generate_fn`` callable (main.py does)
+        self._gen_builder = gen_builder
         self.evl_met = EvalFnCap(
             cfg, comm, met_keys=["cider", "bleu", "rouge"]
         )
+
+    def rebind_mesh(self, mesh):
+        old = self.mesh
+        super().rebind_mesh(mesh)
+        if self._gen_builder is not None:
+            self.generate_fn = self._gen_builder(mesh)
+        elif old is not None:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "EvalB_Gen.rebind_mesh: no gen_builder was provided, so "
+                "the decode fn keeps its construction-time mesh binding "
+                "(pass gen_builder=lambda m: build_srl_generate_fn(cfg, "
+                "comm, model, mesh=m) to retarget decoding)"
+            )
 
     def run_model(self, variables, batch):
         return np.asarray(self.generate_fn(variables, batch))

@@ -398,6 +398,12 @@ class Learner:
             self.opt_state = jax.device_get(self.opt_state)
         old = dict(self.mesh.shape)
         self.mesh = new_mesh
+        # the evaluator cached jits over the OLD mesh at construction;
+        # retarget it too, or post-shrink validation would still touch
+        # the devices the run just moved off of
+        rebind = getattr(self.eval_fn, "rebind_mesh", None)
+        if callable(rebind):
+            rebind(new_mesh)
         self.logger.info(
             "elastic resize: mesh %s -> %s", old, dict(new_mesh.shape)
         )
