@@ -248,3 +248,13 @@ def test_orbax_restore_across_device_counts(tmp_path):
     assert p.returncode == 0 and "SAVED" in p.stdout, p.stderr[-3000:]
     p = run(CHILD_LOAD.format(repo=str(REPO), path=ckpt), 2)
     assert p.returncode == 0 and "LOADED" in p.stdout, p.stderr[-3000:]
+
+
+def test_midrun_resize_rejects_indivisible_eval_batch(env):
+    """A resize whose device count does not divide bsv must fail AT the
+    resize (precise message), not deep inside the next validation."""
+    cfg = mk(env, "rsz_bad", **{"train.bsv": 4})
+    la = _make_learner(cfg, _mesh8())
+    la.request_resize(8)  # train bs=8 divides 8, eval bsv=4 does not
+    with pytest.raises(AssertionError, match="eval batch"):
+        la.fit(2, 1e-3)

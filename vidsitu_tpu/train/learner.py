@@ -390,6 +390,14 @@ class Learner:
             f"per-process batch {self.data.train_dl.batch_size} is not "
             f"divisible by the resized mesh's {local_dp}-way local share"
         )
+        # fail HERE, not deep inside the next validation's batch-placement
+        # assert (the evaluator is rebound to the same mesh below)
+        bsv = getattr(getattr(self.data, "valid_dl", None), "batch_size", None)
+        n_local = int(new_mesh.devices.size) // max(jax.process_count(), 1)
+        assert bsv is None or bsv % max(n_local, 1) == 0, (
+            f"eval batch {bsv} is not divisible by the resized mesh's "
+            f"{n_local} local devices; pick a compatible n_devices or bsv"
+        )
         # pull the live state to host; the rebuilt jit's in_shardings
         # re-shard it on entry (the old buffers were step outputs laid
         # out for the old mesh)
