@@ -32,6 +32,14 @@ from functools import partial
 
 
 def _timeit(fn, *args, iters=10):
+    """Per-iteration ms of a shape-preserving fn over a large tensor.
+
+    The FULL tensor is the loop carry (out_k = fn(out_{k-1})), so every
+    iteration must materialize its output — a scalar-mean carry would
+    let XLA factor the reduction through linear ops and hoist the whole
+    tensor traffic out of the loop (the BENCH.md harness lesson; an
+    earlier scalar-carry version of this gate printed a physically
+    impossible 16 TB/s for the XLA elementwise arm)."""
     import jax
     import jax.numpy as jnp
 
@@ -41,11 +49,10 @@ def _timeit(fn, *args, iters=10):
         xs = a[:-1]
 
         def body(_, carry):
-            out = fn(xs[0] + carry, *xs[1:])
-            out = jax.lax.optimization_barrier(out)
-            return (out.mean() * 1e-9).astype(jnp.bfloat16)
+            return jax.lax.optimization_barrier(fn(carry, *xs[1:]))
 
-        return jax.lax.fori_loop(0, n, body, jnp.bfloat16(0))
+        out = jax.lax.fori_loop(0, n, body, xs[0])
+        return (out[0, 0] * 1e-9).astype(jnp.bfloat16)
 
     float(run(*args, iters))
     trivial = jax.jit(lambda: jnp.zeros((), jnp.bfloat16))
