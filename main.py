@@ -155,6 +155,9 @@ def main(argv=None):
     cfg["cmd_str"] = " ".join(sys.argv)
     cfg["num_gpus"] = jax.device_count()
     cfg.freeze()
+    from vidsitu_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(cfg)
     print(CfgProcessor.to_str(cfg))
     main_fn(cfg, uid)
 

@@ -294,6 +294,9 @@ def main(argv=None):
         k, v = tok[2:].split("=", 1)
         overrides[k] = v
     cfg = get_cfg_with_overrides("featext", **overrides)
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(cfg)
     comm = build_comm(cfg)
     variables = None
     if not args.ckpt and not args.allow_random_weights:
