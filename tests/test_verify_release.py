@@ -93,3 +93,17 @@ def test_missing_vocab_pickle_reported(release, tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 1
     assert "[FAIL] verb_id_vocab.pkl" in out
+
+
+@pytest.mark.slow
+def test_release_train_step(tmp_path, capsys):
+    """--train_step runs ONE real jitted fwd+bwd+Adam step per task
+    against the release's converted vocabs (no frames dir -> vb skips,
+    no roberta dir -> evrel skips; both SRL variants must step)."""
+    make_release_tree(tmp_path)  # no frames
+    rc = main(["--dir", str(tmp_path), "--train_step"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "[ok]   train step[vb_arg/tx_only]" in out
+    assert "[ok]   train step[vb_arg/sfpret_txe_txd_vbarg]" in out
+    assert "param tensors updated" in out

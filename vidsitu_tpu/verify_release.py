@@ -482,6 +482,70 @@ def debug_epoch(root: Path, vocab_dirs: dict, task_type: str, mdl: str,
     return rep.run(name, _epoch)
 
 
+def train_step_check(root: Path, vocab_dirs: dict, task_type: str, mdl: str,
+                     rep: Report, feats_name: Optional[str] = None):
+    """One REAL jitted train step (fwd + bwd + Adam) on a 2-item batch
+    built from the release's converted vocabs: catches model-side
+    contract breaks a data-only epoch cannot (vocab-size/classifier-head
+    mismatches, non-finite losses from real id ranges, dtype drift)."""
+    name = f"train step[{task_type}/{mdl}]"
+
+    def _step():
+        import jax
+        import numpy as np
+        import optax
+
+        from .data import build_comm
+        from .data.dataset import VsituDS
+        from .data.loader import fold_frame_events, stack_collate
+        from .models.selector import build_model, init_model_variables
+
+        cfg = _release_cfg(root, vocab_dirs, task_type, mdl, feats_name)
+        comm = build_comm(cfg)
+        ds = VsituDS(cfg, comm, "train")
+        batch = fold_frame_events(
+            stack_collate([ds[i] for i in range(min(2, len(ds)))])
+        )
+        model = build_model(cfg, comm)
+        variables = init_model_variables(model, batch, seed=0)
+        params = variables["params"]
+        extra = {k: v for k, v in variables.items() if k != "params"}
+        extra_cols = list(extra)
+        optimizer = optax.adam(1e-4)
+        opt_state = optimizer.init(params)
+
+        @jax.jit
+        def step(p, ex, st, b, rng):
+            def loss_fn(pp):
+                if extra_cols:
+                    out, new_ex = model.apply(
+                        {"params": pp, **ex}, b, deterministic=False,
+                        rngs={"dropout": rng}, mutable=extra_cols,
+                    )
+                    return out["loss"], new_ex
+                out = model.apply({"params": pp}, b, deterministic=False,
+                                  rngs={"dropout": rng})
+                return out["loss"], {}
+
+            (loss, new_ex), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p)
+            upd, st = optimizer.update(updates=grads, state=st, params=p)
+            return optax.apply_updates(p, upd), new_ex, st, loss
+
+        p2, _, _, loss = step(params, extra, opt_state, batch,
+                              jax.random.PRNGKey(0))
+        loss = float(loss)
+        if not np.isfinite(loss):
+            raise ValueError(f"non-finite loss {loss} on the release batch")
+        moved = jax.tree.reduce(
+            lambda a, kv: a + int(bool(np.any(np.asarray(kv)))),
+            jax.tree.map(lambda a, b_: a != b_, params, p2), 0,
+        )
+        return f"loss={loss:.4f}, {moved} param tensors updated"
+
+    return rep.run(name, _step)
+
+
 # ------------------------------------------------------------------- driver
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(
@@ -497,6 +561,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "(default <dir>/converted_tpu)")
     ap.add_argument("--no_epoch", action="store_true",
                     help="skip the 30-item debug epochs")
+    ap.add_argument("--train_step", action="store_true",
+                    help="also run ONE jitted train step (fwd+bwd+Adam) "
+                         "per task on a 2-item release batch — verifies "
+                         "the model path against the real vocab sizes "
+                         "(compiles; expect ~20-40s/task on TPU)")
     ap.add_argument("--arch", default="slowfast",
                     help="backbone arch for --caffe2_ckpt conversion")
     args = ap.parse_args(argv)
@@ -557,19 +626,31 @@ def main(argv: Optional[List[str]] = None) -> int:
             vocab_dirs = {"verb": verb_out, "gpt2": gpt2_out,
                           "roberta": rob_dir or standin}
             if frames_ok is True:
-                debug_epoch(root, vocab_dirs, "vb", "sf_base", rep)
+                ok = debug_epoch(root, vocab_dirs, "vb", "sf_base", rep)
+                if ok and args.train_step:
+                    train_step_check(root, vocab_dirs, "vb", "sf_base", rep)
             else:
                 rep.skip("debug epoch[vb/sf_base]", "no frames dir")
             # token-only SRL model: no feats needed (mdl_selector.py:36)
-            debug_epoch(root, vocab_dirs, "vb_arg", "tx_only", rep)
+            ok = debug_epoch(root, vocab_dirs, "vb_arg", "tx_only", rep)
+            if ok and args.train_step:
+                train_step_check(root, vocab_dirs, "vb_arg", "tx_only", rep)
             if feats:
-                debug_epoch(root, vocab_dirs, "vb_arg", "sfpret_txe_txd_vbarg",
-                            rep, feats_name=feats[0][0])
+                ok = debug_epoch(root, vocab_dirs, "vb_arg",
+                                 "sfpret_txe_txd_vbarg", rep,
+                                 feats_name=feats[0][0])
+                if ok and args.train_step:
+                    train_step_check(root, vocab_dirs, "vb_arg",
+                                     "sfpret_txe_txd_vbarg", rep,
+                                     feats_name=feats[0][0])
             else:
                 rep.skip("debug epoch[vb_arg/sfpret_txe_txd_vbarg]",
                          "no feature dir")
             if rob_dir:
-                debug_epoch(root, vocab_dirs, "evrel", "rob_evrel", rep)
+                ok = debug_epoch(root, vocab_dirs, "evrel", "rob_evrel", rep)
+                if ok and args.train_step:
+                    train_step_check(root, vocab_dirs, "evrel", "rob_evrel",
+                                     rep)
             else:
                 rep.skip("debug epoch[evrel/rob_evrel]",
                          "needs --roberta_tok_dir")
