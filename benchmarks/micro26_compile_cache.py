@@ -70,6 +70,9 @@ print(json.dumps({
 
 def run_child(cache_dir: str, platform: str) -> dict:
     env = dict(os.environ, M26_CACHE=cache_dir)
+    # a pre-set external cache would override M26_CACHE inside
+    # enable_compile_cache and pre-warm the 'cold' child
+    env.pop('VIDSITU_COMPILE_CACHE', None)
     if platform:
         env["VIDSITU_PLATFORM"] = platform
     out = subprocess.run(

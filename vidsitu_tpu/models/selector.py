@@ -25,7 +25,7 @@ def compute_dtypes(cfg):
 
 
 def build_model(cfg, comm):
-    """Instantiate the model for cfg. Returns (model, sample_input_keys)."""
+    """Instantiate and return the model for cfg."""
     task = cfg.task_type
     mdl_name = cfg.mdl.mdl_name
     dtype, param_dtype = compute_dtypes(cfg)

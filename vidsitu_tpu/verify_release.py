@@ -541,6 +541,12 @@ def train_step_check(root: Path, vocab_dirs: dict, task_type: str, mdl: str,
             lambda a, kv: a + int(bool(np.any(np.asarray(kv)))),
             jax.tree.map(lambda a, b_: a != b_, params, p2), 0,
         )
+        if moved == 0:
+            raise ValueError(
+                "0 param tensors updated by the step — all gradients are "
+                "zero (disconnected head / stop-gradient regression); the "
+                "step verified nothing"
+            )
         return f"loss={loss:.4f}, {moved} param tensors updated"
 
     return rep.run(name, _step)
@@ -565,7 +571,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="also run ONE jitted train step (fwd+bwd+Adam) "
                          "per task on a 2-item release batch — verifies "
                          "the model path against the real vocab sizes "
-                         "(compiles; expect ~20-40s/task on TPU)")
+                         "(compiles; expect ~20-40s/task on TPU). Each "
+                         "step runs only after its task's debug epoch "
+                         "passes, so it is skipped under --no_epoch")
     ap.add_argument("--arch", default="slowfast",
                     help="backbone arch for --caffe2_ckpt conversion")
     args = ap.parse_args(argv)
@@ -600,7 +608,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     check_sfbase(args.sfbase_ckpt, args.arch, rep)
 
     # 5. debug-mode epochs per task (data layer end-to-end)
-    if not args.no_epoch:
+    def _step_skip(task: str, mdl: str, why: str):
+        """A requested --train_step that cannot run must still emit a
+        line — silence would read as 'the check ran'."""
+        if args.train_step:
+            rep.skip(f"train step[{task}/{mdl}]", why)
+
+    if args.no_epoch:
+        for task, mdl in (("vb", "sf_base"), ("vb_arg", "tx_only"),
+                          ("vb_arg", "sfpret_txe_txd_vbarg"),
+                          ("evrel", "rob_evrel")):
+            _step_skip(task, mdl, "--no_epoch skips the debug epoch this "
+                                  "check depends on")
+    else:
         if verb_out and gpt2_out:
             rob_dir = rob_out if rob_out is not True else None
             if rob_dir is None:
@@ -627,35 +647,57 @@ def main(argv: Optional[List[str]] = None) -> int:
                           "roberta": rob_dir or standin}
             if frames_ok is True:
                 ok = debug_epoch(root, vocab_dirs, "vb", "sf_base", rep)
-                if ok and args.train_step:
-                    train_step_check(root, vocab_dirs, "vb", "sf_base", rep)
+                if ok:
+                    if args.train_step:
+                        train_step_check(root, vocab_dirs, "vb", "sf_base",
+                                         rep)
+                else:
+                    _step_skip("vb", "sf_base", "debug epoch failed")
             else:
                 rep.skip("debug epoch[vb/sf_base]", "no frames dir")
+                _step_skip("vb", "sf_base", "no frames dir")
             # token-only SRL model: no feats needed (mdl_selector.py:36)
             ok = debug_epoch(root, vocab_dirs, "vb_arg", "tx_only", rep)
-            if ok and args.train_step:
-                train_step_check(root, vocab_dirs, "vb_arg", "tx_only", rep)
+            if ok:
+                if args.train_step:
+                    train_step_check(root, vocab_dirs, "vb_arg", "tx_only",
+                                     rep)
+            else:
+                _step_skip("vb_arg", "tx_only", "debug epoch failed")
             if feats:
                 ok = debug_epoch(root, vocab_dirs, "vb_arg",
                                  "sfpret_txe_txd_vbarg", rep,
                                  feats_name=feats[0][0])
-                if ok and args.train_step:
-                    train_step_check(root, vocab_dirs, "vb_arg",
-                                     "sfpret_txe_txd_vbarg", rep,
-                                     feats_name=feats[0][0])
+                if ok:
+                    if args.train_step:
+                        train_step_check(root, vocab_dirs, "vb_arg",
+                                         "sfpret_txe_txd_vbarg", rep,
+                                         feats_name=feats[0][0])
+                else:
+                    _step_skip("vb_arg", "sfpret_txe_txd_vbarg",
+                               "debug epoch failed")
             else:
                 rep.skip("debug epoch[vb_arg/sfpret_txe_txd_vbarg]",
                          "no feature dir")
+                _step_skip("vb_arg", "sfpret_txe_txd_vbarg", "no feature dir")
             if rob_dir:
                 ok = debug_epoch(root, vocab_dirs, "evrel", "rob_evrel", rep)
-                if ok and args.train_step:
-                    train_step_check(root, vocab_dirs, "evrel", "rob_evrel",
-                                     rep)
+                if ok:
+                    if args.train_step:
+                        train_step_check(root, vocab_dirs, "evrel",
+                                         "rob_evrel", rep)
+                else:
+                    _step_skip("evrel", "rob_evrel", "debug epoch failed")
             else:
                 rep.skip("debug epoch[evrel/rob_evrel]",
                          "needs --roberta_tok_dir")
+                _step_skip("evrel", "rob_evrel", "needs --roberta_tok_dir")
         else:
             rep.skip("debug epochs", "vocab conversion failed above")
+            for task, mdl in (("vb", "sf_base"), ("vb_arg", "tx_only"),
+                              ("vb_arg", "sfpret_txe_txd_vbarg"),
+                              ("evrel", "rob_evrel")):
+                _step_skip(task, mdl, "vocab conversion failed above")
 
     print(
         f"\n{len(rep.passed)} ok, {len(rep.failed)} failed, "
