@@ -1,19 +1,54 @@
-"""Benchmark entry: prints ONE JSON line for the driver.
+"""Benchmark entry: the default run prints one JSON line PER headline
+metric (featext, vb/SRL/evrel train, greedy + beam-5 decode at the
+reference's production dims) as it completes, then a final summary line
+(the featext headline plus an ``all`` list embedding every metric) — so
+the driver-captured BENCH_r*.json certifies the whole perf surface
+whichever line it parses.
 
-Headline metric (north star, BASELINE.md): SlowFast-R50 8x8 feature
-extraction throughput in clips/sec/chip at the real geometry
-(fast 32x224x224, slow 8x224x224, bf16 compute).
+``vs_baseline`` compares against documented analytic estimates of the
+reference-era GPU figures (the repo publishes no throughput number and
+this environment has no GPU or egress to measure/fetch one). All
+anchors assume the reference's stack — PyTorch 1.5 / CUDA 10.2
+(reference INSTALL.md:6-8) implies V100-class fp32 — with derivations
+below and in BENCH.md ("GPU baselines (analytic)"):
 
-``vs_baseline`` compares against a documented analytic estimate of the
-reference-era GPU figure (the repo publishes no throughput number and
-this environment has no GPU or egress to measure/fetch one):
-PyTorch 1.5 / CUDA 10.2 (reference INSTALL.md:6-8) implies V100-class
-fp32 inference; SlowFast-8x8-R50 is 65.7 GFLOPs/clip (SlowFast paper,
-Table 1); V100 fp32 peak is 15.7 TFLOP/s and cuDNN-era 3D-CNN pipelines
-sustain roughly 35% of it, giving 15.7e12 * 0.35 / 65.7e9 ~= 84 ->
-**80 clips/s/GPU** (estimate, stated to one significant figure).
+* featext: SlowFast-8x8-R50 forward is 65.7 GFLOPs/clip (SlowFast
+  paper, Table 1); V100 fp32 peak 15.7 TFLOP/s at a typical ~35%
+  sustained efficiency for cuDNN 3D-CNN pipelines ->
+  15.7e12 * 0.35 / 65.7e9 ~= 84 -> **80 clips/s/GPU** (one significant
+  figure).
+* vb train: fwd+bwd ~= 3x forward FLOPs, 5 event clips per video ->
+  3 * 65.7e9 * 5 = 985.5 GFLOP/video; 5.5 TFLOP/s sustained ->
+  **5.6 videos/s/GPU**.
+* SRL train (d=1024/3L enc+dec, ref transformer.yaml): decoder
+  per-token params 3 * (self 4d^2 + cross 4d^2 + ffn 2*d*2048) = 37.7M;
+  6 FLOPs/param/token (train) * 300 decoder tokens/video = 68 GFLOP +
+  ~1 GFLOP encoder (5 event tokens) -> 5.5e12 / 69e9 ~=
+  **80 videos/s/GPU**.
+* evrel train (roberta-base): 12 * (4*768^2 + 2*768*3072) = 85M
+  per-token params; 4 pair-sequences x 120 tokens = 480 tokens/video;
+  6 * 85M * 480 = 245 GFLOP -> **22 videos/s/GPU**.
+* decode latency (greedy, budget 200, bs=16): fairseq-era torch 1.5
+  eager decode is kernel-launch bound — ~120 CUDA kernels per 3-layer
+  decoder step at ~8-10us launch+dispatch -> ~1.1 ms/step/batch * 201
+  steps ~= 220 ms/batch -> **15 ms/video** (the V100 weight-read
+  bandwidth floor, ~1.4 ms/video, is far below it).
+* decode latency (beam-5): adds fairseq's per-step
+  reorder_incremental_state cache traffic — 3L * 400 rows * avgT=100
+  * 1024 * 2(KV) * 4B * 2(r+w) ~= 2.0 GB/step -> +2.2 ms/step at
+  V100's 900 GB/s -> +440 ms/batch over greedy -> **40 ms/video**.
 
-Other benches: ``python bench.py srl`` (SRL train-step samples/sec).
+Latency metrics report vs_baseline = baseline/value (higher = better),
+throughputs value/baseline.
+
+Roofline certification: each device metric also reports achieved HBM
+GB/s and TFLOP/s and their fraction of the v5e chip roofline (HBM 819
+GB/s, bf16 MXU 197 TFLOP/s — public spec), from XLA's own compiled
+cost analysis of the single-step program (featext/train) or from the
+analytic KV-cache traffic model of BENCH.md (decode, whose while-loop
+trip counts XLA's cost model cannot see). ``roofline_frac`` is the
+binding resource's fraction: how close the kernel is to
+speed-of-light in absolute terms, independent of the GPU anchors.
 """
 
 from __future__ import annotations
@@ -23,9 +58,44 @@ import os
 import sys
 import time
 
-# analytic V100 fp32 estimate for SlowFast-8x8-R50 inference (see module
-# docstring for the derivation); the north-star target is >=10x this
+# analytic V100 fp32 estimates (derivations in the module docstring and
+# BENCH.md); the featext north-star target is >=10x its anchor
 GPU_BASELINE_CLIPS_PER_SEC = 80.0
+GPU_BASELINE_VB_TRAIN_VPS = 5.6
+GPU_BASELINE_SRL_TRAIN_VPS = 80.0
+GPU_BASELINE_EVREL_TRAIN_VPS = 22.0
+GPU_BASELINE_GREEDY_MS_PER_VIDEO = 15.0
+GPU_BASELINE_BEAM5_MS_PER_VIDEO = 40.0
+
+# TPU v5e single-chip roofline (public spec)
+V5E_HBM_GBPS = 819.0
+V5E_BF16_TFLOPS = 197.0
+
+
+def _xla_cost(compiled) -> dict:
+    """XLA's own traffic/FLOP accounting for a compiled executable."""
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):  # older jax returns [dict]
+        ca = ca[0]
+    return {"bytes": float(ca.get("bytes accessed", 0.0)),
+            "flops": float(ca.get("flops", 0.0))}
+
+
+def _roofline(bytes_per_call: float, flops_per_call: float,
+              wall_s_per_call: float) -> dict:
+    """Achieved GB/s + TFLOP/s and their roofline fractions; the
+    binding resource's fraction is ``roofline_frac``."""
+    gbps = bytes_per_call / 1e9 / wall_s_per_call
+    tflops = flops_per_call / 1e12 / wall_s_per_call
+    hbm_frac = gbps / V5E_HBM_GBPS
+    flops_frac = tflops / V5E_BF16_TFLOPS
+    return {
+        "hbm_gbps": round(gbps, 1),
+        "tflops": round(tflops, 2),
+        "hbm_frac": round(hbm_frac, 3),
+        "flops_frac": round(flops_frac, 3),
+        "roofline_frac": round(max(hbm_frac, flops_frac), 3),
+    }
 
 
 def bench_slowfast_featext(clips: int = 128, iters: int = 10) -> dict:

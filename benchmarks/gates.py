@@ -4,7 +4,7 @@ BENCH.md, and prints explicit flip/no-flip lines.
 
 Gates:
   1. pallas pipeline DMA floor vs XLA elementwise bandwidth (micro3
-     essence). The fused bottleneck kernel (ops/fused_bottleneck.py)
+     essence). The fused bottleneck kernel (probe_fused_bottleneck.py)
      moves ~2.5x fewer HBM bytes than XLA's unfused chain but runs on
      the pallas DMA pipeline; it flips profitable when the floor
      crosses ~550 GB/s (~80% of XLA's). Decision output:
@@ -13,7 +13,9 @@ Gates:
      kernel corrupted decode tokens under specific whole-program XLA
      buffer assignments on the round-3 axon stacks (BENCH.md "layout
      hazard"). Decision output: PASS -> the opt-in
-     VIDSITU_PALLAS_BEAM_GATHER may be reconsidered; FAIL -> keep OFF.
+     kernel (evicted from the package in round 5; now a gate-only
+     probe, benchmarks/probe_beam_gather.py) could be deliberately
+     re-landed; FAIL -> stays evicted.
   3. featext lane-padding layout check (micro24 essence, compile-only):
      the inference program is batch-minor on current stacks, so the
      clip count pads to 128-lane multiples; the default operating
@@ -99,10 +101,10 @@ def gate_dma_floor(flip_gbps: float = 550.0) -> dict:
     print(f"[gate 1] pallas pipeline DMA: {pallas_bw:6.0f} GB/s | "
           f"XLA elementwise: {xla_bw:6.0f} GB/s | threshold {flip_gbps:.0f}")
     print("[gate 1] " + (
-        "FLIP: DMA floor crossed — re-measure cfg.tpu.fuse_inference=on "
-        "in-model (bench.py featext A/B)" if flip else
-        "no-flip: fused bottleneck stays disabled "
-        "(cfg.tpu.fuse_inference off)"))
+        "FLIP: DMA floor crossed — consider re-landing the fused "
+        "bottleneck in-model (probe_fused_bottleneck.py) and A/B with "
+        "bench.py featext" if flip else
+        "no-flip: fused bottleneck stays evicted (gate-only probe)"))
     return {"pallas_gbps": round(pallas_bw, 1), "xla_gbps": round(xla_bw, 1),
             "flip": flip}
 
@@ -121,11 +123,11 @@ def gate_beam_gather() -> dict:
     worst = m14.main()
     flip = worst == 0
     print("[gate 2] " + (
-        "FLIP candidate: beam-gather A/B PASS on this stack — the opt-in "
-        "VIDSITU_PALLAS_BEAM_GATHER may be reconsidered (ancestry decode "
-        "has made it obsolete on the default path)" if flip else
+        "FLIP candidate: beam-gather A/B PASS on this stack — re-landing "
+        "the probe kernel in-package may be reconsidered (ancestry decode "
+        "has made it obsolete on the default path anyway)" if flip else
         f"no-flip: beam gather corrupts ({worst} token mismatches) — "
-        "keep VIDSITU_PALLAS_BEAM_GATHER off"))
+        "the kernel stays evicted (gate-only probe)"))
     return {"worst_mismatches": worst, "flip": flip}
 
 

@@ -1,17 +1,22 @@
 """micro14: in-model A/B verification of the pallas beam-cache gather.
 
-The row-DMA kernel (ops/beam_gather) is bit-exact standalone, yet on the
-round-3 axon stack ONE in-model compilation (the production generate fn,
-token-only output) returned corrupted decode tokens while five
+The row-DMA kernel (benchmarks/probe_beam_gather.py — EVICTED from the
+package in round 5) is bit-exact standalone, yet on the round-3 axon
+stack ONE in-model compilation (the production generate fn, token-only
+output) returned corrupted decode tokens while five
 graph-near-identical programs were exact (BENCH.md round 3, "pallas beam
 gather layout hazard"). Correctness therefore depends on whole-program
-XLA buffer assignment around the Mosaic custom call — re-verify on every
-new stack before flipping gen/beam._pallas_gather_enabled's default.
+XLA buffer assignment around the Mosaic custom call — this gate
+re-verifies per stack; only a PASS would justify deliberately
+re-landing an in-package path.
 
 Runs the REAL production generate fn (build_srl_generate_fn) and a
-hand-inlined core replica, each with the kernel forced off (one-hot dot
-reference) and on, and reports pairwise token mismatches. PASS requires
-zero mismatches on every pair.
+hand-inlined core replica, each with the package's one-hot-dot gather
+(reference) and with the probe's pallas routing monkeypatched over
+``vidsitu_tpu.gen.beam._gather_beams`` (the gate seam), and reports
+pairwise token mismatches. ancestry_beam is forced OFF so the gen arm
+rebuilds the historical hazard-sensitive program (ancestry mode never
+calls the cache gather). PASS requires zero mismatches on every pair.
 
 Usage: python benchmarks/micro14_beam_gather_ab.py  (real TPU)
 """
@@ -20,8 +25,6 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-import os  # noqa: E402
 
 import numpy as np  # noqa: E402
 
@@ -43,6 +46,9 @@ def main(bs: int = 8, beam: int = 5):
     # lengths below the kernel's 128-multiple eligibility — keep the
     # gate's sensitivity identical across stacks
     cfg.tpu.seg_decode_min = 0
+    # ancestry mode bypasses the cache gather entirely; the historical
+    # corrupting compilation was the full-cache-gather production fn
+    cfg.tpu.ancestry_beam = False
     comm = build_comm(cfg)
     tok = comm.gpt2_hf_tok
     gen_cfg = GenConfig.from_cfg(cfg.gen)
@@ -88,14 +94,33 @@ def main(bs: int = 8, beam: int = 5):
         )
         return seqs[:, 0].reshape(b, 5, 1, seqs.shape[-1])
 
+    import importlib.util
+
+    import vidsitu_tpu.gen.beam as beam_mod
+
+    spec = importlib.util.spec_from_file_location(
+        "probe_beam_gather",
+        Path(__file__).resolve().parent / "probe_beam_gather.py",
+    )
+    probe = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(probe)
+    dot_gather = beam_mod._gather_beams
+
     res = {}
-    for tag, v in (("dot", "0"), ("pallas", "unsafe-acknowledged")):
-        os.environ["VIDSITU_PALLAS_BEAM_GATHER"] = v
-        res["gen_" + tag] = np.asarray(
-            build_srl_generate_fn(cfg, comm, model)(variables, inp)
-        )
-        res["core_" + tag] = np.asarray(jax.jit(core)(variables, inp))
-    os.environ.pop("VIDSITU_PALLAS_BEAM_GATHER", None)
+    try:
+        for tag in ("dot", "pallas"):
+            beam_mod._gather_beams = (
+                dot_gather if tag == "dot"
+                else lambda t, i, b, k: probe.pallas_gather_beams(
+                    t, i, b, k, fallback=dot_gather
+                )
+            )
+            res["gen_" + tag] = np.asarray(
+                build_srl_generate_fn(cfg, comm, model)(variables, inp)
+            )
+            res["core_" + tag] = np.asarray(jax.jit(core)(variables, inp))
+    finally:
+        beam_mod._gather_beams = dot_gather
 
     keys = list(res)
     worst = 0

@@ -6,7 +6,15 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from vidsitu_tpu.ops.fused_bottleneck import fused_bottleneck_frames
+import importlib.util as _ilu
+from pathlib import Path as _P
+
+_spec = _ilu.spec_from_file_location(
+    "probe_fused_bottleneck",
+    _P(__file__).resolve().parent / "probe_fused_bottleneck.py")
+_probe = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_probe)
+fused_bottleneck_frames = _probe.fused_bottleneck_frames
 
 
 def timeit(fn, *args, iters=10):
@@ -70,7 +78,7 @@ print(f"XLA unfused chain       {ms:7.2f} ms")
 import functools
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-from vidsitu_tpu.ops.fused_bottleneck import _kernel
+_kernel = _probe._kernel
 
 
 def fused_multi(x, frames_per_step=4):

@@ -1,23 +1,29 @@
 """Pallas row-select kernel for the beam-search KV-cache reorder.
 
+GATE-ONLY PROBE — not importable from ``vidsitu_tpu``. The kernel was
+EVICTED from the package in round 5: a whole-program XLA
+buffer-assignment interaction on the 2026-08 axon stacks corrupts one
+of six compared in-model compilations despite the kernel being
+bit-exact standalone (full receipts: BENCH.md "pallas beam gather
+layout hazard"), and a shipping package must contain no flag that can
+produce known-wrong tokens. The per-round stack gate
+(`python bench.py gates` -> benchmarks/micro14_beam_gather_ab.py)
+monkeypatches ``vidsitu_tpu.gen.beam._gather_beams`` with
+``pallas_gather_beams`` below and re-runs the six-program A/B on each
+new stack; should a future stack PASS, re-landing is a deliberate
+code change, not an env flip.
+
 ``beam_gather_rows(x, src_rows)``: out[r] = x[src_rows[r]] for a 2-D
 ``x (R, F)`` — the per-step cache reorder of beam search
 (gen/beam._gather_beams). The scalar-prefetched source indices drive the
 automatic pipeline's input DMA via the BlockSpec index_map, so each grid
 step streams one dynamically-selected row HBM->VMEM->HBM double-buffered
-at the pallas DMA floor (~413 GB/s on this stack, BENCH.md).
-
-Routing (gen/beam._pallas_gather_enabled): **OPT-IN ONLY** — the kernel
-runs solely when ``VIDSITU_PALLAS_BEAM_GATHER=1`` is set, because a
-whole-program XLA buffer-assignment interaction on the 2026-08 axon
-stack corrupts one of six compared in-model compilations despite the
-kernel being bit-exact standalone (full receipts: BENCH.md "pallas beam
-gather layout hazard"; re-run benchmarks/micro14_beam_gather_ab on each
-new stack and reconsider only on PASS). It measures 33.6 vs 39.2
-ms/video beam-5 where it works, and is obsolete on the default path
-anyway — ancestry decode (cfg.tpu.ancestry_beam) removed the per-step
-cache reorder entirely. Off-TPU the kernel self-selects interpret mode
-so forced-on CPU runs (tests, virtual meshes) execute the same routing.
+at the pallas DMA floor (~413 GB/s on this stack, BENCH.md). It measured
+33.6 vs 39.2 ms/video beam-5 where it worked, and is obsolete on the
+default path anyway — ancestry decode (cfg.tpu.ancestry_beam) removed
+the per-step cache reorder entirely. Off-TPU the kernel self-selects
+interpret mode so forced-on CPU runs (tests, virtual meshes) execute
+the same routing.
 """
 
 from __future__ import annotations
@@ -107,3 +113,42 @@ def beam_gather_rows_multi(
         interpret=interpret,
     )(src_rows.astype(jnp.int32), *shaped)
     return [o.reshape(x.shape) for o, x in zip(outs, xs)]
+
+
+def pallas_gather_beams(tree, beam_idx, batch: int, beam: int, fallback):
+    """The evicted in-package routing, reconstructed probe-side: one
+    pallas_call over ALL eligible float leaves (each grid step DMAs one
+    row of every leaf, raising the per-step transfer size — the limiter
+    of the row-DMA kernel); ineligible leaves go to ``fallback`` (the
+    package's exact one-hot-dot ``_gather_beams``, captured BEFORE the
+    monkeypatch). The gate installs this as
+    ``vidsitu_tpu.gen.beam._gather_beams`` to rebuild the historical
+    hazard-sensitive programs exactly (micro14)."""
+    src_rows = (
+        jnp.arange(batch, dtype=jnp.int32)[:, None] * beam + beam_idx
+    ).reshape(-1)
+    leaves, treedef = jax.tree.flatten(tree)
+    ok = [
+        i for i, leaf in enumerate(leaves)
+        if jnp.issubdtype(leaf.dtype, jnp.floating)
+        and (leaf.size // (batch * beam)) % 128 == 0
+        # rows must span >= 8 of the kernel's 128-lane tiles: smaller
+        # leaves get non-default XLA tilings that corrupt under Mosaic
+        # (layout hazard above) — they stay on the exact dot path
+        and (leaf.size // (batch * beam)) // 128 >= 8
+    ]
+    done = {}
+    if ok:
+        ins = [leaves[i].reshape(batch * beam, -1) for i in ok]
+        outs = beam_gather_rows_multi(ins, src_rows)
+        done = {
+            id(leaves[i]): o.reshape(leaves[i].shape)
+            for i, o in zip(ok, outs)
+        }
+
+    def gather(x):
+        if id(x) in done:
+            return done[id(x)]
+        return fallback(x, beam_idx, batch, beam)
+
+    return jax.tree.map(gather, tree)

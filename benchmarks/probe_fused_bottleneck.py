@@ -1,5 +1,14 @@
 """Pallas fused bottleneck block for inference (slow-pathway s2/s3).
 
+GATE-ONLY PROBE — not importable from ``vidsitu_tpu``. The kernel was
+EVICTED from the package in round 5: it is exact (tests drive it
+against the package's unfused Bottleneck via ``run_fused_block``) but
+permanently unprofitable on current stacks (the pallas pipeline DMA
+floor, ~273-413 GB/s, sits far below the ~550 GB/s it needs — gate 1
+of `python bench.py gates` re-measures the floor each round). Should
+the floor ever cross, re-landing an in-model path is a deliberate code
+change; until then no config flag routes to it.
+
 One VMEM pass computes relu(x + c(relu(b(relu(a(x)))))) for a ResNet
 bottleneck whose convs are 1x1x1 -> 1x3x3(stride 1) -> 1x1x1 with
 BatchNorm folded into the weights (inference). The temporal kernel is 1
@@ -17,10 +26,9 @@ elementwise, capping the best case at ~1.4x; and (b) per-frame Mosaic
 compute (small K=64 matmuls + 9 tap shifts, tried both as pad+slice
 relayouts, 15.5 ms/block, and as one matmul + f32 pltpu.roll + mask,
 17.2 ms/block) runs ~2x above the 7.5 ms DMA floor instead of hiding
-under it, while XLA's in-model unfused chain is ~10.7 ms/block. The op
-therefore ships DISABLED by default (cfg.tpu.fuse_inference='auto' ->
-off; set 'on' to re-measure on a stack with better pallas DMA/compute).
-Correctness is fully tested (tests/test_fused_bottleneck.py).
+under it, while XLA's in-model unfused chain is ~10.7 ms/block.
+Correctness is tested (tests/test_fused_bottleneck.py drives
+``run_fused_block`` against the package's unfused Bottleneck).
 
 Reference behavior: SlowFast bottleneck residual stages
 (mdl_sf_base.py:20-42 wraps the SlowFast package's ResStage).
@@ -115,8 +123,7 @@ def fused_bottleneck_frames(
     """
     if not interpret and jax.default_backend() != "tpu":
         # compiled Mosaic kernels need a real TPU; anywhere else
-        # (CPU tests, a user flipping tpu.fuse_inference=on off-TPU)
-        # runs interpreted
+        # (CPU tests, virtual-device meshes) runs interpreted
         interpret = True
     b, h, w, cin = x.shape
     cout = wc.shape[1]
@@ -158,3 +165,46 @@ def fold_conv_bn(kernel, scale, bias, mean, var, eps: float):
     s = scale / sqrt(var + eps)."""
     s = scale * jax.lax.rsqrt(var + eps)
     return kernel * s, (bias - mean * s)
+
+
+def run_fused_block(variables, x, dim_inner: int, dim_out: int,
+                    bn_eps: float = 1e-5, *, dtype=jnp.float32,
+                    interpret: bool = False):
+    """Drive the fused kernel from a package ``Bottleneck``'s variables
+    (the evicted in-model fold path, reconstructed probe-side): reads
+    the a/b/c (+ optional proj) ConvBN params + batch stats from
+    ``variables``, folds BN into the weights, and runs ONE VMEM pass
+    over the frames. x: (N, T, H, W, Cin); temporal kernel must be 1 and
+    spatial stride 1 (the kernel's contract)."""
+    params, stats = variables["params"], variables["batch_stats"]
+
+    def folded(name):
+        k = params[name]["conv"]["kernel"].astype(jnp.float32)
+        w, b = fold_conv_bn(
+            k,
+            params[name]["bn"]["scale"].astype(jnp.float32),
+            params[name]["bn"]["bias"].astype(jnp.float32),
+            stats[name]["bn"]["mean"].astype(jnp.float32),
+            stats[name]["bn"]["var"].astype(jnp.float32),
+            bn_eps,
+        )
+        return w, b.reshape(1, -1).astype(jnp.float32)
+
+    cin = x.shape[-1]
+    wa, ba = folded("a")
+    wb, bb = folded("b")
+    wc, bc = folded("c")
+    wp = bp = None
+    if "proj" in params:
+        wp, bp = folded("proj")
+        wp = wp.reshape(cin, dim_out).astype(dtype)
+    n, t, h, w_sp, _ = x.shape
+    y = fused_bottleneck_frames(
+        x.reshape(n * t, h, w_sp, cin).astype(dtype),
+        wa.reshape(cin, dim_inner).astype(dtype), ba,
+        wb.reshape(3, 3, dim_inner, dim_inner).astype(dtype), bb,
+        wc.reshape(dim_inner, dim_out).astype(dtype), bc,
+        wp, bp,
+        interpret=interpret,
+    )
+    return y.reshape(n, t, h, w_sp, dim_out)

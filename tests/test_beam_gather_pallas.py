@@ -1,5 +1,11 @@
-"""Pallas row-select cache gather: correctness (interpret mode) + the
-opt-in routing in gen/beam (VIDSITU_PALLAS_BEAM_GATHER)."""
+"""Gate-only pallas row-select cache gather probe
+(benchmarks/probe_beam_gather): correctness in interpret mode, the
+probe-side routing it reconstructs, and the package-side eviction
+contract (the old VIDSITU_PALLAS_BEAM_GATHER env flip must fail loudly,
+not silently do nothing)."""
+
+import importlib.util
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -7,17 +13,24 @@ import numpy as np
 import pytest
 
 from vidsitu_tpu.gen.beam import _gather_beams
-from vidsitu_tpu.ops.beam_gather import beam_gather_rows
+
+_spec = importlib.util.spec_from_file_location(
+    "probe_beam_gather",
+    Path(__file__).resolve().parent.parent
+    / "benchmarks" / "probe_beam_gather.py",
+)
+probe = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(probe)
 
 
 def test_beam_gather_rows_matches_numpy():
     k = jax.random.PRNGKey(0)
     # rows must span >= 8 lane-tiles (F >= 1024): the layout hazard
-    # guard in ops/beam_gather (BENCH.md round 3)
+    # guard in the probe (BENCH.md round 3)
     for r, f in ((20, 1024), (12, 1152), (40, 2560)):
         x = jax.random.normal(k, (r, f), jnp.float32)
         idx = jax.random.randint(jax.random.PRNGKey(r), (r,), 0, r)
-        out = beam_gather_rows(x, idx, interpret=True)
+        out = probe.beam_gather_rows(x, idx, interpret=True)
         np.testing.assert_array_equal(
             np.asarray(out), np.asarray(x)[np.asarray(idx)]
         )
@@ -25,97 +38,66 @@ def test_beam_gather_rows_matches_numpy():
 
 def test_beam_gather_rows_rejects_narrow_leaves():
     """F/128 < 8 leaves are outside the kernel's layout-safe contract
-    (ops/beam_gather hazard comment) and must be refused, not silently
+    (the hazard comment in the probe) and must be refused, not silently
     mis-gathered."""
     x = jax.random.normal(jax.random.PRNGKey(0), (12, 128), jnp.float32)
     idx = jax.random.randint(jax.random.PRNGKey(1), (12,), 0, 12)
     with pytest.raises(AssertionError):
-        beam_gather_rows(x, idx, interpret=True)
+        probe.beam_gather_rows(x, idx, interpret=True)
 
 
-def test_gather_beams_routes_narrow_leaves_to_dot(monkeypatch):
-    """With the pallas routing forced on, leaves under the M>=8
-    eligibility floor must still be selected (via the exact dot), and
-    only eligible leaves may reach the kernel."""
-    import vidsitu_tpu.ops.beam_gather as bg
-
+def test_probe_routing_narrow_leaves_to_fallback(monkeypatch):
+    """pallas_gather_beams (the reconstructed in-package routing) must
+    send leaves under the M>=8 eligibility floor to the fallback and
+    only eligible leaves to the kernel — and match the package's exact
+    one-hot-dot gather bit for bit."""
     batch, beam = 4, 5
     k = jax.random.PRNGKey(2)
     tree = {
         "wide": jax.random.normal(k, (batch * beam, 1024), jnp.float32),
         "narrow": jax.random.normal(k, (batch * beam, 128), jnp.float32),
+        "ints": jax.random.randint(k, (batch * beam, 7), 0, 100),
     }
     beam_idx = jax.random.randint(k, (batch, beam), 0, beam)
 
     seen = []
-    real = bg.beam_gather_rows_multi
+    real = probe.beam_gather_rows_multi
 
     def spy(xs, idx, **kw):
         seen.extend(x.shape[1] for x in xs)
-        return real(xs, idx, **kw)
+        return real(xs, idx, interpret=True)
 
-    monkeypatch.setattr(bg, "beam_gather_rows_multi", spy)
-    monkeypatch.setenv("VIDSITU_PALLAS_BEAM_GATHER", "unsafe-acknowledged")
-    got = _gather_beams(tree, beam_idx, batch, beam)
-    assert seen == [1024]  # narrow leaf never reached the kernel
-    idx = np.asarray(beam_idx)
+    monkeypatch.setattr(probe, "beam_gather_rows_multi", spy)
+    got = probe.pallas_gather_beams(tree, beam_idx, batch, beam,
+                                    fallback=_gather_beams)
+    assert seen == [1024]  # narrow + int leaves never reached the kernel
+    want = _gather_beams(tree, beam_idx, batch, beam)
     for key in tree:
-        xs = np.asarray(tree[key]).reshape(batch, beam, -1)
-        exp = np.stack([xs[b][idx[b]] for b in range(batch)]).reshape(
-            np.asarray(tree[key]).shape
-        )
-        np.testing.assert_array_equal(np.asarray(got[key]), exp, err_msg=key)
-
-
-def test_gather_beams_dot_path_is_exact():
-    """The production one-hot matmul selection is bit-identical to the
-    take_along_axis gather for float and int leaves."""
-    k = jax.random.PRNGKey(1)
-    batch, beam = 4, 5
-    tree = {
-        "f": jax.random.normal(k, (batch * beam, 7, 128), jnp.bfloat16),
-        "i": jax.random.randint(k, (batch * beam, 3), 0, 99),
-    }
-    beam_idx = jax.random.randint(k, (batch, beam), 0, beam)
-    got = _gather_beams(tree, beam_idx, batch, beam)
-    for key in tree:
-        xs = np.asarray(tree[key]).reshape((batch, beam) + tree[key].shape[1:])
-        idx = np.asarray(beam_idx)
-        exp = np.stack(
-            [xs[b][idx[b]] for b in range(batch)]
-        ).reshape(np.asarray(tree[key]).shape)
-        np.testing.assert_array_equal(np.asarray(got[key]), exp, err_msg=key)
-
-
-def test_beam_gather_rows_multi_matches_numpy():
-    from vidsitu_tpu.ops.beam_gather import beam_gather_rows_multi
-
-    k = jax.random.PRNGKey(3)
-    xs = [
-        jax.random.normal(jax.random.PRNGKey(i), (20, 1024 * (i + 1)),
-                          jnp.float32)
-        for i in range(3)
-    ]
-    idx = jax.random.randint(k, (20,), 0, 20)
-    outs = beam_gather_rows_multi(xs, idx, interpret=True)
-    for x, o in zip(xs, outs):
         np.testing.assert_array_equal(
-            np.asarray(o), np.asarray(x)[np.asarray(idx)]
+            np.asarray(got[key]), np.asarray(want[key])
         )
 
 
-def test_stale_enable_value_raises(monkeypatch):
-    """Quarantine: the pre-round-4 enable value '1' must raise loudly so
-    stale scripts cannot reach the known-corrupting kernel by accident
-    (BENCH.md round-3 'layout hazard'; re-verify via bench.py gates)."""
-    import pytest
-
-    from vidsitu_tpu.gen.beam import _pallas_gather_enabled
-
-    monkeypatch.setenv("VIDSITU_PALLAS_BEAM_GATHER", "1")
-    with pytest.raises(RuntimeError, match="gates"):
-        _pallas_gather_enabled()
+def test_env_flip_raises_removed_error(monkeypatch):
+    """The eviction contract: the historical env opt-in must raise (a
+    stale script setting it would otherwise silently run the dot path
+    believing the kernel engaged)."""
+    tree = {"x": jnp.zeros((4, 8), jnp.float32)}
+    beam_idx = jnp.zeros((2, 2), jnp.int32)
+    for v in ("1", "unsafe-acknowledged"):
+        monkeypatch.setenv("VIDSITU_PALLAS_BEAM_GATHER", v)
+        with pytest.raises(RuntimeError, match="removed"):
+            _gather_beams(tree, beam_idx, 2, 2)
     monkeypatch.setenv("VIDSITU_PALLAS_BEAM_GATHER", "0")
-    assert _pallas_gather_enabled() is False
-    monkeypatch.delenv("VIDSITU_PALLAS_BEAM_GATHER")
-    assert _pallas_gather_enabled() is False
+    _gather_beams(tree, beam_idx, 2, 2)  # explicit off stays accepted
+
+
+def test_no_pallas_gather_in_package():
+    import vidsitu_tpu
+
+    pkg = Path(vidsitu_tpu.__file__).resolve().parent
+    assert not (pkg / "ops" / "beam_gather.py").exists()
+    assert not (pkg / "ops" / "fused_bottleneck.py").exists()
+    import vidsitu_tpu.gen.beam as beam_mod
+
+    assert "beam_gather_rows" not in Path(beam_mod.__file__).read_text()

@@ -1,6 +1,14 @@
-"""Fused pallas bottleneck (ops/fused_bottleneck) == the unfused flax
-chain, in interpret mode on CPU. Covers plain blocks, projection blocks,
-and the full SlowFastBackbone with fusion toggled."""
+"""Gate-only fused-bottleneck probe (benchmarks/probe_fused_bottleneck)
+== the package's unfused flax Bottleneck, in interpret mode on CPU.
+
+The kernel was evicted from the package in round 5 (no config flag
+routes to it — it is exact but unprofitable under the pallas DMA floor,
+gate 1 of `python bench.py gates`); these tests keep the probe honest
+so the gate's flip decision stays meaningful.
+"""
+
+import importlib.util
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -9,14 +17,18 @@ import pytest
 
 from vidsitu_tpu.models.video_backbone import Bottleneck, VideoCfg
 
+_spec = importlib.util.spec_from_file_location(
+    "probe_fused_bottleneck",
+    Path(__file__).resolve().parent.parent
+    / "benchmarks" / "probe_fused_bottleneck.py",
+)
+probe = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(probe)
 
-def _run_block(fused: bool, needs_proj: bool, seed: int = 0):
+
+def _block_and_vars(needs_proj: bool, seed: int = 0):
     cfg = VideoCfg(
-        dtype=jnp.float32,
-        param_dtype=jnp.float32,
-        fuse_inference=fused,
-        fuse_interpret=True,
-        zero_init_final_bn=False,
+        dtype=jnp.float32, param_dtype=jnp.float32, zero_init_final_bn=False
     )
     cin = 24 if needs_proj else 32
     blk = Bottleneck(
@@ -30,60 +42,44 @@ def _run_block(fused: bool, needs_proj: bool, seed: int = 0):
         / a.size,
         v["batch_stats"],
     )
-    v = {"params": v["params"], "batch_stats": stats}
-    return blk.apply(v, x, train=False), v, x
+    return blk, {"params": v["params"], "batch_stats": stats}, x
 
 
 @pytest.mark.parametrize("needs_proj", [False, True])
-def test_fused_block_matches_unfused(needs_proj):
-    y_ref, v, x = _run_block(False, needs_proj)
-    y_fused, _, _ = _run_block(True, needs_proj)
+def test_fused_probe_matches_package_block(needs_proj):
+    blk, v, x = _block_and_vars(needs_proj)
+    y_ref = blk.apply(v, x, train=False)
+    y_fused = probe.run_fused_block(
+        v, x, dim_inner=16, dim_out=32, bn_eps=blk.cfg.bn_eps, interpret=True
+    )
+    assert ("proj" in v["params"]) == needs_proj
     np.testing.assert_allclose(
         np.asarray(y_fused), np.asarray(y_ref), rtol=2e-5, atol=2e-5
     )
 
 
-def test_fused_param_tree_identical():
-    _, v_ref, _ = _run_block(False, True)
-    _, v_fused, _ = _run_block(True, True)
-    ref_paths = jax.tree_util.tree_structure(v_ref)
-    fused_paths = jax.tree_util.tree_structure(v_fused)
-    assert ref_paths == fused_paths
-    for a, b in zip(jax.tree.leaves(v_ref), jax.tree.leaves(v_fused)):
-        assert a.shape == b.shape
-
-
-def test_fused_backbone_matches_unfused():
-    from vidsitu_tpu.models.video_backbone import SlowFastBackbone
-
-    kw = dict(dtype=jnp.float32, param_dtype=jnp.float32,
-              depth_blocks=(1, 1, 1, 1), zero_init_final_bn=False)
-    cfg_ref = VideoCfg(**kw)
-    cfg_fused = VideoCfg(fuse_inference=True, fuse_interpret=True, **kw)
-    rng = jax.random.PRNGKey(3)
-    slow = jax.random.normal(rng, (1, 4, 32, 32, 3))
-    fast = jax.random.normal(rng, (1, 16, 32, 32, 3))
-    mdl_ref = SlowFastBackbone(cfg_ref)
-    v = mdl_ref.init(jax.random.PRNGKey(4), slow, fast)
-    ys_ref, yf_ref = mdl_ref.apply(v, slow, fast, train=False)
-    ys, yf = SlowFastBackbone(cfg_fused).apply(v, slow, fast, train=False)
-    np.testing.assert_allclose(np.asarray(ys), np.asarray(ys_ref),
-                               rtol=3e-5, atol=3e-5)
-    np.testing.assert_allclose(np.asarray(yf), np.asarray(yf_ref),
-                               rtol=3e-5, atol=3e-5)
-
-
-def test_fused_on_cpu_falls_back_to_interpret():
-    """fuse_inference='on' without a TPU must not crash: the op detects
-    the backend and runs interpreted."""
-    cfg = VideoCfg(
-        dtype=jnp.float32, param_dtype=jnp.float32,
-        fuse_inference=True, fuse_interpret=False,  # NOT asking interpret
-        zero_init_final_bn=False,
+def test_fused_probe_on_cpu_falls_back_to_interpret():
+    """Driving the probe without asking for interpret mode must not
+    crash off-TPU: the op detects the backend and runs interpreted."""
+    blk, v, x = _block_and_vars(False)
+    y = probe.run_fused_block(
+        v, x, dim_inner=16, dim_out=32, interpret=False
     )
-    blk = Bottleneck(dim_out=32, dim_inner=16, temp_kernel=1,
-                     spatial_stride=1, cfg=cfg)
-    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 8, 8, 32))
-    v = blk.init(jax.random.PRNGKey(1), x)
-    y = blk.apply(v, x, train=False)
     assert y.shape == x.shape
+
+
+def test_no_fused_path_in_package():
+    """The eviction contract: no fused-bottleneck code or config flag
+    is reachable from the package."""
+    import vidsitu_tpu.models.video_backbone as vb
+
+    assert not hasattr(Bottleneck, "_fused")
+    assert "fuse_inference" not in VideoCfg.__dataclass_fields__
+    src = Path(vb.__file__).read_text()
+    assert "ops.fused_bottleneck" not in src
+    assert "fused_bottleneck_frames" not in src
+
+    from vidsitu_tpu.utils.config import get_cfg_with_overrides
+
+    cfg = get_cfg_with_overrides("evict")
+    assert "fuse_inference" not in cfg.tpu

@@ -540,16 +540,27 @@ def test_preemption_checkpoints_and_resumes(env):
 
 
 def test_eval_sharded_pallas_gather_equals_dot(env, tmp_path, monkeypatch):
-    """Beam-3 decode with the pallas row-DMA cache gather forced ON,
-    under the 8-virtual-device sharded mesh, produces the identical
-    prediction pkl as the one-hot dot path — the GSPMD-level
-    verification behind gen/beam._pallas_gather_enabled's default-on
-    single-device-TPU routing."""
+    """Beam-3 decode with the gate-only pallas row-DMA cache gather
+    probe monkeypatched in (benchmarks/probe_beam_gather.py — the same
+    seam `bench.py gates` uses), under the 8-virtual-device sharded
+    mesh, produces the identical prediction pkl as the package's
+    one-hot dot path — the GSPMD-level arm of the per-stack A/B that
+    keeps the evicted kernel's gate meaningful."""
+    import importlib.util
     import pickle
+    from pathlib import Path
 
-    import vidsitu_tpu.ops.beam_gather as bg
+    import vidsitu_tpu.gen.beam as beam_mod
     from vidsitu_tpu.models.selector import build_srl_generate_fn
     from vidsitu_tpu.parallel.mesh import make_mesh
+
+    spec = importlib.util.spec_from_file_location(
+        "probe_beam_gather",
+        Path(__file__).resolve().parent.parent
+        / "benchmarks" / "probe_beam_gather.py",
+    )
+    bg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bg)
 
     cfg = mk(
         env, "evpal",
@@ -580,20 +591,27 @@ def test_eval_sharded_pallas_gather_equals_dot(env, tmp_path, monkeypatch):
         return real(*a, **k)
 
     monkeypatch.setattr(bg, "beam_gather_rows_multi", counting)
+    dot_gather = beam_mod._gather_beams
 
     out = {}
-    for tag, envval in (("dot", "0"), ("pallas", "unsafe-acknowledged")):
-        monkeypatch.setenv("VIDSITU_PALLAS_BEAM_GATHER", envval)
+    for tag in ("dot", "pallas"):
+        if tag == "pallas":
+            monkeypatch.setattr(
+                beam_mod, "_gather_beams",
+                lambda tree, idx, batch_, beam_: bg.pallas_gather_beams(
+                    tree, idx, batch_, beam_, fallback=dot_gather
+                ),
+            )
         calls["n"] = 0
         gen_fn = build_srl_generate_fn(cfg, comm, model, mesh=mesh)
         ev = EvalB_Gen(cfg, comm, gen_fn, mesh=mesh)
         pdir = tmp_path / tag
         pdir.mkdir()
         ev(variables, data.valid_dl, "valid", pdir)
-        # the kernel must actually engage at trace time when forced on
+        # the kernel must actually engage at trace time when patched in
         # (guards against silently-ineligible cache leaves making this
         # test vacuous), and stay out of the dot path
-        assert (calls["n"] > 0) == (envval != "0"), (tag, calls["n"])
+        assert (calls["n"] > 0) == (tag == "pallas"), (tag, calls["n"])
         out[tag] = pickle.load(open(pdir / "valid_0.pkl", "rb"))
 
     assert out["dot"] == out["pallas"]

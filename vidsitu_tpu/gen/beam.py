@@ -92,42 +92,28 @@ def _gather_beams(tree: Any, beam_idx: jnp.ndarray, batch: int, beam: int):
     micro13, BENCH.md round 3). Selection weights are exact 0/1, so the
     result is bit-identical to the gather. Integer leaves keep
     take_along_axis.
-    """
-    onehot = jax.nn.one_hot(beam_idx, beam)  # (B, K_new, K_old)
-    done = {}
-    if _pallas_gather_enabled():
-        # one pallas_call over ALL eligible leaves: each grid step DMAs
-        # one row of every leaf, raising the per-step transfer size
-        # (the limiter of the row-DMA kernel; see ops/beam_gather)
-        from ..ops.beam_gather import beam_gather_rows_multi
 
-        src_rows = (
-            jnp.arange(batch, dtype=jnp.int32)[:, None] * beam + beam_idx
-        ).reshape(-1)
-        leaves, treedef = jax.tree.flatten(tree)
-        ok = [
-            i for i, leaf in enumerate(leaves)
-            if jnp.issubdtype(leaf.dtype, jnp.floating)
-            and (leaf.size // (batch * beam)) % 128 == 0
-            # rows must span >= 8 of the kernel's 128-lane tiles: smaller
-            # leaves get non-default XLA tilings that corrupt under
-            # Mosaic (ops/beam_gather layout hazard) — they stay on the
-            # exact one-hot dot below
-            and (leaf.size // (batch * beam)) // 128 >= 8
-        ]
-        if ok:
-            ins = [
-                leaves[i].reshape(batch * beam, -1) for i in ok
-            ]
-            outs = beam_gather_rows_multi(ins, src_rows)
-            done = {
-                id(leaves[i]): o.reshape(leaves[i].shape)
-                for i, o in zip(ok, outs)
-            }
+    NB: this module-global is the seam the gate-only pallas row-DMA
+    gather probe monkeypatches (benchmarks/probe_beam_gather.py,
+    driven by `python bench.py gates`). The kernel itself was EVICTED
+    from the package in round 5 — it corrupted decode tokens under
+    specific whole-program XLA buffer assignments (BENCH.md round 3,
+    "pallas beam gather layout hazard") and no in-package flag may
+    reach a known-corrupting path.
+    """
+    import os
+
+    if os.environ.get("VIDSITU_PALLAS_BEAM_GATHER", "") not in ("", "0"):
+        raise RuntimeError(
+            "VIDSITU_PALLAS_BEAM_GATHER was removed: the pallas row-DMA "
+            "beam gather corrupted decode tokens on the round-3/4 axon "
+            "stacks and is no longer shipped in the package. It lives on "
+            "as a gate-only probe — run `python bench.py gates` "
+            "(benchmarks/probe_beam_gather.py) to A/B it on your stack."
+        )
+    onehot = jax.nn.one_hot(beam_idx, beam)  # (B, K_new, K_old)
 
     def gather(x):
-        if id(x) in done:
-            return done[id(x)]
         xs = x.reshape((batch, beam) + x.shape[1:])
         if jnp.issubdtype(x.dtype, jnp.floating):
             flat = xs.reshape(batch, beam, -1)
@@ -186,45 +172,6 @@ def ancestry_reorder(cache: Any, orig_beam: jnp.ndarray, batch: int,
     new = dict(cache)
     new["anc"] = anc
     return new
-
-
-def _pallas_gather_enabled() -> bool:
-    """Opt-in pallas row-DMA cache gather (ops/beam_gather): OFF by
-    default. The kernel is bit-exact standalone and in five of six
-    in-model compilations, but on the round-3 axon stack ONE production
-    decode compilation returned corrupted tokens (6/8040 after the
-    M>=8 eligibility fix; 28 before) while a graph-identical variant of
-    the same program was exact — the corruption tracks whole-program
-    XLA buffer-assignment details around the Mosaic custom call, which
-    no caller-side rule can contract with (full investigation:
-    BENCH.md round 3, "pallas beam gather layout hazard";
-    benchmarks/micro14_beam_gather_ab.py re-verifies per stack).
-    Ancestry decode (the default) made the kernel obsolete on every
-    production path; it remains only for the ancestry-off mode on a
-    stack where `python bench.py gates` reports the beam-gather A/B
-    PASS. Quarantine (VERDICT r3 #7): enabling requires the explicit
-    acknowledgment value below — the old '1' raises, so no stale
-    script/env can reach the known-corrupting kernel by accident."""
-    import os
-
-    v = os.environ.get("VIDSITU_PALLAS_BEAM_GATHER", "")
-    if v in ("", "0"):
-        return False
-    if v != "unsafe-acknowledged":
-        raise RuntimeError(
-            "VIDSITU_PALLAS_BEAM_GATHER: the pallas row-DMA beam gather "
-            "corrupted decode tokens on the round-3 axon stacks (BENCH.md "
-            "'layout hazard'). Run `python bench.py gates` — only if the "
-            "beam-gather A/B prints PASS on your stack, set "
-            "VIDSITU_PALLAS_BEAM_GATHER=unsafe-acknowledged to enable."
-        )
-    import warnings
-
-    warnings.warn(
-        "pallas beam gather enabled (unsafe-acknowledged): verify "
-        "`python bench.py gates` PASSes on this stack", stacklevel=2,
-    )
-    return True
 
 
 def _banned_ngram_mask(

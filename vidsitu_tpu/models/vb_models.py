@@ -130,26 +130,13 @@ class VbVideoModel(nn.Module):
         return out
 
 
-def _fuse_flag(cfg):
-    """cfg.tpu.fuse_inference: 'auto' -> None (VideoCfg decides by
-    backend), else 'on'/'off' (the knob is a string so the type-checked
-    CLI override accepts all three)."""
-    v = getattr(cfg.tpu, "fuse_inference", "auto")
-    if isinstance(v, str):
-        v = v.lower()
-        if v == "auto":
-            return None
-        return v in ("on", "true", "1", "yes")
-    return bool(v)
-
-
 def build_vb_model(cfg, comm):
     from .selector import compute_dtypes
 
     dtype, param_dtype = compute_dtypes(cfg)
     vid_cfg = VideoCfg.from_cfg(
         cfg.vid_mdl, dtype=dtype, param_dtype=param_dtype,
-        remat=cfg.train.remat, fuse_inference=_fuse_flag(cfg),
+        remat=cfg.train.remat,
         remat_stages=cfg.train.remat_stages,
         bn_f32_stats=cfg.train.bn_f32_stats,
         packed_stem_epilogue=cfg.tpu.packed_stem_epilogue,
@@ -163,7 +150,7 @@ def build_feat_extractor(cfg):
     dtype, param_dtype = compute_dtypes(cfg)
     vid_cfg = VideoCfg.from_cfg(
         cfg.vid_mdl, dtype=dtype, param_dtype=param_dtype,
-        remat=cfg.train.remat, fuse_inference=_fuse_flag(cfg),
+        remat=cfg.train.remat,
         remat_stages=cfg.train.remat_stages,
         bn_f32_stats=cfg.train.bn_f32_stats,
         packed_stem_epilogue=cfg.tpu.packed_stem_epilogue,

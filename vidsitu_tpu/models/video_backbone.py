@@ -92,14 +92,10 @@ class VideoCfg:
     param_dtype: Any = jnp.float32
     bn_momentum: float = 0.9
     bn_eps: float = 1e-5
-    # pallas fused bottleneck at inference (see Bottleneck docstring);
-    # fuse_interpret runs the kernel interpreted (CPU tests)
-    fuse_inference: bool = False
-    fuse_interpret: bool = False
 
     @classmethod
     def from_cfg(cls, vid_mdl, dtype=jnp.float32, param_dtype=jnp.float32,
-                 remat=False, fuse_inference=None, remat_stages="",
+                 remat=False, remat_stages="",
                  bn_f32_stats=True, packed_stem_epilogue=False):
         # remat_stages: "s2,s3" / "0,1" -> stage indices 0..3;
         # "stem"/"s1" -> -1 (checkpoint the stems: drops the stem conv's
@@ -120,11 +116,6 @@ class VideoCfg:
             nl_loc.append(tuple(tuple(p) for p in stage_loc))
         # 26 is a 1-block-per-stage bottleneck variant for fast tests
         depth_map = {26: (1, 1, 1, 1), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}
-        if fuse_inference is None:
-            # 'auto' resolves to OFF: the fused kernel measured slower
-            # in-model on v5e (see ops/fused_bottleneck.py docstring);
-            # cfg.tpu.fuse_inference='on' re-enables for re-measurement
-            fuse_inference = False
         return cls(
             arch=vid_mdl.arch,
             depth_blocks=depth_map[vid_mdl.resnet.depth],
@@ -146,7 +137,6 @@ class VideoCfg:
             reverse_input_channel=bool(vid_mdl.reverse_input_channel),
             dtype=dtype,
             param_dtype=param_dtype,
-            fuse_inference=bool(fuse_inference),
         )
 
 
@@ -352,13 +342,12 @@ class NonLocalBlock(nn.Module):
 class Bottleneck(nn.Module):
     """1x1x1(temp) -> 1x3x3(stride) -> 1x1x1 with residual.
 
-    At inference on TPU (``cfg.fuse_inference``), temporal-kernel-1
-    stride-1 blocks run as ONE pallas VMEM pass (ops/fused_bottleneck):
-    x is read from HBM once and the output written once, vs the unfused
-    chain's ~2.5x traffic — these stages are HBM-bound. The parameter
-    tree is identical: the fused path declares the very same ConvBN
-    submodules (via a 1-pixel dummy call) and folds their BN stats into
-    the matmul weights.
+    A pallas fused single-VMEM-pass variant of the temporal-kernel-1
+    stride-1 case exists as a gate-only probe
+    (benchmarks/probe_fused_bottleneck.py): it moves ~2.5x fewer HBM
+    bytes but loses in-model on current stacks (pallas DMA floor); gate
+    1 of `python bench.py gates` re-measures the flip condition each
+    round. No config flag routes to it.
     """
 
     dim_out: int
@@ -371,19 +360,6 @@ class Bottleneck(nn.Module):
     def __call__(self, x, train: bool = False):
         c = self.cfg
         needs_proj = (x.shape[-1] != self.dim_out) or (self.spatial_stride != 1)
-        frame_bytes = (
-            x.shape[2] * x.shape[3] * (x.shape[-1] + self.dim_out)
-            * jnp.dtype(c.dtype).itemsize
-        )
-        use_fused = (
-            c.fuse_inference
-            and not train
-            and self.temp_kernel == 1
-            and self.spatial_stride == 1
-            # double-buffered in+out frames must fit VMEM (16MB) with room
-            # for weights and the f32 accumulator
-            and frame_bytes * 2 <= 10 * 1024 * 1024
-        )
         mods = {
             "a": ConvBN(self.dim_inner, (self.temp_kernel, 1, 1), cfg=c,
                         name="a"),
@@ -400,8 +376,6 @@ class Bottleneck(nn.Module):
                 strides=(1, self.spatial_stride, self.spatial_stride),
                 relu=False, cfg=c, name="proj",
             )
-        if use_fused and not self.is_initializing():
-            return self._fused(x, mods, needs_proj)
         residual = x
         if needs_proj:
             residual = mods["proj"](x, train)
@@ -409,51 +383,6 @@ class Bottleneck(nn.Module):
         y = mods["b"](y, train)
         y = mods["c"](y, train)
         return nn.relu(residual + y)
-
-    def _fused(self, x, mods, needs_proj):
-        from ..ops.fused_bottleneck import fold_conv_bn, fused_bottleneck_frames
-
-        c = self.cfg
-
-        def folded(mod, cin_probe):
-            # 1-pixel dummy call declares the submodule's params/stats
-            # (identical tree to the unfused path); read + fold them
-            mod(cin_probe, train=False)
-            v = mod.variables
-            k = v["params"]["conv"]["kernel"].astype(jnp.float32)
-            w, b = fold_conv_bn(
-                k,
-                v["params"]["bn"]["scale"].astype(jnp.float32),
-                v["params"]["bn"]["bias"].astype(jnp.float32),
-                v["batch_stats"]["bn"]["mean"].astype(jnp.float32),
-                v["batch_stats"]["bn"]["var"].astype(jnp.float32),
-                c.bn_eps,
-            )
-            return w, b.reshape(1, -1).astype(jnp.float32)
-
-        probe_x = x[:1, :1, :1, :1, :]
-        cin = x.shape[-1]
-        wa, ba = folded(mods["a"], probe_x)
-        probe_mid = jnp.zeros(
-            (1, 1, 1, 1, self.dim_inner), x.dtype
-        )
-        wb, bb = folded(mods["b"], probe_mid)
-        wc, bc = folded(mods["c"], probe_mid)
-        wp = bp = None
-        if needs_proj:
-            wp, bp = folded(mods["proj"], probe_x)
-            wp = wp.reshape(cin, self.dim_out).astype(c.dtype)
-        n, t, h, w_sp, _ = x.shape
-        y = fused_bottleneck_frames(
-            x.reshape(n * t, h, w_sp, cin).astype(c.dtype),
-            wa.reshape(cin, self.dim_inner).astype(c.dtype), ba,
-            wb.reshape(3, 3, self.dim_inner, self.dim_inner).astype(c.dtype),
-            bb,
-            wc.reshape(self.dim_inner, self.dim_out).astype(c.dtype), bc,
-            wp, bp,
-            interpret=c.fuse_interpret,
-        )
-        return y.reshape(n, t, h, w_sp, self.dim_out)
 
 
 class ResStage(nn.Module):
@@ -533,7 +462,7 @@ class Stem(nn.Module):
         c = self.cfg
         f = self.width
         # 1-pixel-scale dummy call declares the identical param tree
-        # (same pattern as Bottleneck._fused)
+        # as the plain (unpacked) stem path
         mod(jnp.zeros((1, 4, 8, 8, x.shape[-1]), c.dtype), train=False)
         v = mod.variables
         y = _PackedStemConv(
