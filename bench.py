@@ -172,18 +172,29 @@ def bench_slowfast_featext(clips: int = 128, iters: int = 10) -> dict:
     float(run(batch, iters))
     dt = (time.perf_counter() - t0) - rtt
     cps = n_clips * iters / dt
+    # roofline: XLA's cost accounting of the SINGLE-batch production
+    # program (the extractor dispatches one apply per 128-clip batch;
+    # the chained-loop program above only de-noises the wall clock)
+    cost = _xla_cost(
+        jax.jit(
+            lambda b: model.apply(variables, b,
+                                  method=VbVideoModel.clip_features)
+        ).lower(batch).compile()
+    )
     return {
         "metric": "slowfast_r50_8x8_featext",
         "value": round(cps, 2),
         "unit": "clips/sec/chip",
         "vs_baseline": round(cps / GPU_BASELINE_CLIPS_PER_SEC, 2),
+        **_roofline(cost["bytes"], cost["flops"], dt / iters),
     }
 
 
 def bench_srl_train(bs: int = 32, iters: int = 20, task: str = "vb_arg",
                     mdl: str = "sfpret_txe_txd_vbarg",
                     extra: dict = None, name: str = "srl_train_throughput",
-                    unit_videos: bool = False) -> dict:
+                    unit_videos: bool = False,
+                    baseline_vps: float = 0.0) -> dict:
     """Jitted fwd+bwd+Adam train-step throughput for a language-side task
     model. With ``extra`` dims it benches the reference's production
     geometry (VERDICT r3 #5: real-dims training receipts for SRL/evrel,
@@ -223,11 +234,14 @@ def bench_srl_train(bs: int = 32, iters: int = 20, task: str = "vb_arg",
     # the params/opt_state chain makes this final fetch wait for all steps
     float(loss)
     dt = time.perf_counter() - t0
+    vps = bs * iters / dt
+    cost = _xla_cost(step.lower(params, opt_state, dev_batch).compile())
     return {
         "metric": name,
-        "value": round(bs * iters / dt, 2),
+        "value": round(vps, 2),
         "unit": "videos/sec/chip" if unit_videos else "samples/sec",
-        "vs_baseline": 0.0,
+        "vs_baseline": round(vps / baseline_vps, 2) if baseline_vps else 0.0,
+        **_roofline(cost["bytes"], cost["flops"], dt / iters),
     }
 
 
@@ -246,12 +260,59 @@ _REAL_TX = {
 }
 
 
+def _seg_schedule(budget_steps: int, seg_min: int):
+    """Segmented-decode schedule as [(n_steps, cache_len)] (the cache
+    starts at seg_min positions and doubles between while_loop segments,
+    gen/beam.beam_search seg_bounds)."""
+    if seg_min <= 0 or seg_min >= budget_steps:
+        return [(budget_steps, budget_steps)]
+    out, prev, cap = [], 0, seg_min
+    while cap < budget_steps:
+        out.append((cap - prev, cap + 1))
+        prev, cap = cap, cap * 2
+    out.append((budget_steps - prev, budget_steps))
+    return out
+
+
+def _decode_traffic_bytes(cfg, variables, bs: int, beam: int) -> float:
+    """Analytic HBM traffic of one decode dispatch (BENCH.md round-3
+    roofline model): per step, attention reads the self K/V cache rows
+    up to the segment length plus every decoder weight once (small-rows
+    GEMV-shaped matmuls are weight-read bound); XLA's static cost model
+    cannot see the while_loop trip counts, hence analytic."""
+    import jax
+
+    d = int(cfg.tx_dec.decoder_embed_dim)
+    layers = int(cfg.tx_dec.decoder_layers)
+    rows = bs * 5 * beam
+    budget = min(int(cfg.gen.max_len_b), 1023) + 1
+    cache_bytes = jax.dtypes.canonicalize_dtype(
+        jax.tree.leaves(variables["params"])[0].dtype
+    ).itemsize
+    params_bytes = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree.leaves(variables["params"])
+    )
+    total = 0.0
+    for n_steps, cache_len in _seg_schedule(
+        budget, int(cfg.tpu.seg_decode_min)
+    ):
+        per_step = (
+            layers * rows * cache_len * d * 2 * cache_bytes  # self K+V
+            + params_bytes
+        )
+        total += n_steps * per_step
+    return total
+
+
 def bench_srl_decode(bs: int = 16, iters: int = 5, beam: int = 1,
                      real_dims: bool = False) -> dict:
     """SRL decode latency (ms per 5-event video), BASELINE.md's
     'beam decode latency reported alongside'. beam>1 uses the
     fairseq-exact 2*beam candidate flow. real_dims benches the
-    reference's actual d=1024/3-layer decoder geometry."""
+    reference's actual d=1024/3-layer decoder geometry (and anchors
+    vs_baseline to the analytic fairseq-era GPU latencies in the
+    module docstring)."""
     import jax
     import jax.numpy as jnp
 
@@ -291,12 +352,23 @@ def bench_srl_decode(bs: int = 16, iters: int = 5, beam: int = 1,
     )
     if real_dims:
         name += "_d1024"
-    return {
+    ms_per_video = dt / bs * 1000
+    anchor = 0.0
+    if real_dims:
+        anchor = (GPU_BASELINE_GREEDY_MS_PER_VIDEO if beam == 1
+                  else GPU_BASELINE_BEAM5_MS_PER_VIDEO if beam == 5 else 0.0)
+    out = {
         "metric": name,
-        "value": round(dt / bs * 1000, 3),
+        "value": round(ms_per_video, 3),
         "unit": "ms/video",
-        "vs_baseline": 0.0,
+        # latency: baseline/value so higher still means faster-than-GPU
+        "vs_baseline": round(anchor / ms_per_video, 2) if anchor else 0.0,
     }
+    if real_dims:
+        out.update(_roofline(
+            _decode_traffic_bytes(cfg, variables, bs, beam), 0.0, dt
+        ))
+    return out
 
 
 def bench_host_feed(segments: int = 4, iters: int = 3) -> dict:
@@ -411,14 +483,21 @@ def bench_host_feed(segments: int = 4, iters: int = 3) -> dict:
 
 
 def bench_vb_train(b: int = 8, iters: int = 4, remat_stages: str = "",
-                   bn_f32_stats: bool = True) -> dict:
+                   bn_f32_stats: bool = True, accum: int = 1) -> dict:
     """SlowFast-R50 8x8 verb-model TRAINING throughput (fwd+bwd+Adam+BN),
     videos/sec/chip at the real geometry, steps chained via lax.scan.
     Frames ship pre-folded 5-D, matching the learner's host-side fold.
 
     Levers (VERDICT r3 #4): ``remat_stages='s2,s3'`` checkpoints only the
     high-res stages (for b>8); ``bn_f32_stats=False`` reduces BN batch
-    stats in bf16."""
+    stats in bf16.
+
+    ``accum=2`` (mode ``vbtrain16``) is the reference-default
+    global-bs=16 receipt: b=8 micro-batches through optax.MultiSteps —
+    the SAME wrapper the Learner uses for cfg.train.grad_accum, whose
+    accumulated step is asserted equal to the full batch in
+    tests/test_train_extras.py::test_grad_accum_matches_full_batch —
+    showing the reference's global batch trains on this 16G chip."""
     import functools
 
     import jax
@@ -451,6 +530,9 @@ def bench_vb_train(b: int = 8, iters: int = 4, remat_stages: str = "",
     }
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), batch)
     opt = optax.adam(1e-4, b1=0.9, b2=0.99)
+    if accum > 1:
+        # the Learner's own accumulation wrapper (train/learner.py:194)
+        opt = optax.MultiSteps(opt, every_k_schedule=accum)
     params = variables["params"]
     stats = variables["batch_stats"]
     opt_state = opt.init(params)
@@ -479,28 +561,105 @@ def bench_vb_train(b: int = 8, iters: int = 4, remat_stages: str = "",
         )
         return ls[-1]
 
-    float(run(params, stats, opt_state, batch, iters))  # compile once
+    # AOT-compile once: the same executable serves timing AND the
+    # roofline cost numbers (XLA's cost analysis counts a while-loop
+    # body ONCE regardless of trip count — verified empirically — so
+    # the scan-chained program's cost IS the one-step cost)
+    compiled = run.lower(params, stats, opt_state, batch, iters).compile()
+    float(compiled(params, stats, opt_state, batch))  # warm
     trivial = jax.jit(lambda: jnp.zeros((), jnp.bfloat16))
     float(trivial())
     t0 = time.perf_counter()
     float(trivial())
     rtt = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(run(params, stats, opt_state, batch, iters))
+    float(compiled(params, stats, opt_state, batch))
     dt = ((time.perf_counter() - t0) - rtt) / iters
+    vps = b / dt
+    cost = _xla_cost(compiled)
+    name = "slowfast_vb_train_throughput"
+    if accum > 1:
+        name += f"_bs{b * accum}_accum{accum}"
     return {
-        "metric": "slowfast_vb_train_throughput",
-        "value": round(b / dt, 2),
+        "metric": name,
+        "value": round(vps, 2),
         "unit": "videos/sec/chip",
-        "vs_baseline": 0.0,
+        "vs_baseline": round(vps / GPU_BASELINE_VB_TRAIN_VPS, 2),
+        **_roofline(cost["bytes"], cost["flops"], dt),
     }
 
 
+def _bench_srl_real(**kw) -> dict:
+    """Reference production SRL geometry (configs/vsitu_tx_cfgs/
+    transformer.yaml: d=1024, ffn=2048, 3L, h=8), videos/sec/chip."""
+    kw.setdefault("bs", 16)
+    return bench_srl_train(
+        extra=_REAL_TX, name="srl_train_throughput_d1024",
+        unit_videos=True, baseline_vps=GPU_BASELINE_SRL_TRAIN_VPS, **kw)
+
+
+def _bench_evrel_real(**kw) -> dict:
+    """roberta-base dims are the config defaults (rob_mdl:); extra={}
+    keeps them instead of the graft-entry tiny dims."""
+    kw.setdefault("bs", 8)
+    return bench_srl_train(
+        task="evrel", mdl="rob_evrel", extra={},
+        name="evrel_train_throughput_robbase", unit_videos=True,
+        baseline_vps=GPU_BASELINE_EVREL_TRAIN_VPS, **kw)
+
+
+def _run_all() -> None:
+    """Default (driver) mode: every headline metric, one JSON line each
+    as it completes — partial results survive a timeout — then a final
+    summary line (the featext headline + ``all`` embedding every
+    metric), so BENCH_r*.json certifies the whole perf surface
+    whichever line it parses."""
+    modes = [
+        ("slowfast_r50_8x8_featext", bench_slowfast_featext, {}),
+        ("slowfast_vb_train_throughput", bench_vb_train, {}),
+        ("slowfast_vb_train_throughput_bs16_accum2", bench_vb_train,
+         {"accum": 2}),
+        ("srl_train_throughput_d1024", _bench_srl_real, {}),
+        ("evrel_train_throughput_robbase", _bench_evrel_real, {}),
+        ("srl_greedy_decode_latency_d1024", bench_srl_decode,
+         {"real_dims": True}),
+        ("srl_beam5_decode_latency_d1024", bench_srl_decode,
+         {"real_dims": True, "beam": 5}),
+    ]
+    results = []
+    for mode, fn, kw in modes:
+        try:
+            r = fn(**kw)
+        except Exception as e:  # keep the sweep alive; record the failure
+            r = {"metric": mode, "value": 0, "unit": "error",
+                 "vs_baseline": 0.0,
+                 "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(r), flush=True)
+        results.append(r)
+    head = next(
+        (r for r in results if r["metric"] == "slowfast_r50_8x8_featext"),
+        results[0],
+    )
+    print(json.dumps({**head, "all": results}), flush=True)
+
+
 if __name__ == "__main__":
-    which = sys.argv[1] if len(sys.argv) > 1 else "featext"
+    # Persistent XLA compilation cache (repo-local default) so repeated
+    # driver/bench runs skip the multi-minute SlowFast/beam compiles;
+    # a pre-set VIDSITU_COMPILE_CACHE still wins.
+    os.environ.setdefault(
+        "VIDSITU_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".xla_cache"),
+    )
+    from vidsitu_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
     # optional size overrides, forwarded to every mode:
     #   python bench.py srl|decode|decode5|decode_real|decode5_real [bs] [iters]
-    #   python bench.py vbtrain [b] [iters]
+    #   python bench.py vbtrain|vbtrain16 [b] [iters]
     #   python bench.py featext [clips] [iters]
     kw = {}
     sizes = [a for a in sys.argv[2:] if not a.startswith("--")]
@@ -508,22 +667,14 @@ if __name__ == "__main__":
         kw["bs"] = int(sizes[0])
     if len(sizes) > 1:
         kw["iters"] = int(sizes[1])
-    if which == "srl":
+    if which == "all":
+        _run_all()
+    elif which == "srl":
         print(json.dumps(bench_srl_train(**kw)))
     elif which == "srl_real":
-        # reference production SRL geometry (configs/vsitu_tx_cfgs/
-        # transformer.yaml: d=1024, ffn=2048, 3L, h=8), videos/sec/chip
-        kw.setdefault("bs", 16)
-        print(json.dumps(bench_srl_train(
-            extra=_REAL_TX, name="srl_train_throughput_d1024",
-            unit_videos=True, **kw)))
+        print(json.dumps(_bench_srl_real(**kw)))
     elif which == "evrel_real":
-        # roberta-base dims are the config defaults (rob_mdl:); extra={}
-        # keeps them instead of the graft-entry tiny dims
-        kw.setdefault("bs", 8)
-        print(json.dumps(bench_srl_train(
-            task="evrel", mdl="rob_evrel", extra={},
-            name="evrel_train_throughput_robbase", unit_videos=True, **kw)))
+        print(json.dumps(_bench_evrel_real(**kw)))
     elif which == "decode":
         print(json.dumps(bench_srl_decode(**kw)))
     elif which == "decode5":
@@ -532,7 +683,7 @@ if __name__ == "__main__":
         print(json.dumps(bench_srl_decode(real_dims=True, **kw)))
     elif which == "decode5_real":
         print(json.dumps(bench_srl_decode(beam=5, real_dims=True, **kw)))
-    elif which == "vbtrain":
+    elif which in ("vbtrain", "vbtrain16"):
         if "bs" in kw:
             kw["b"] = kw.pop("bs")
         # flags: --remat=s2,s3  --bf16stats
@@ -541,6 +692,11 @@ if __name__ == "__main__":
                 kw["remat_stages"] = a.split("=", 1)[1]
             elif a == "--bf16stats":
                 kw["bn_f32_stats"] = False
+        if which == "vbtrain16":
+            # reference-default global bs=16 receipt (VERDICT r4 #3):
+            # b=8 x 2 accumulated micro-steps via the Learner's own
+            # optax.MultiSteps wrapper
+            kw.setdefault("accum", 2)
         print(json.dumps(bench_vb_train(**kw)))
     elif which == "feed":
         if "bs" in kw:

@@ -18,16 +18,34 @@ def test_bench_srl_and_decode_modes_emit_contract():
     import bench
 
     r = bench.bench_srl_train(bs=4, iters=2)
-    assert set(r) == {"metric", "value", "unit", "vs_baseline"}
+    # driver contract + roofline certification keys (VERDICT r4 #7)
+    assert {"metric", "value", "unit", "vs_baseline",
+            "hbm_gbps", "tflops", "roofline_frac"} <= set(r)
     assert r["value"] > 0
+    assert r["vs_baseline"] == 0.0  # tiny dims: no anchor claimed
+    assert 0 <= r["roofline_frac"]
 
     r = bench.bench_srl_decode(bs=2, iters=1)
     assert r["metric"] == "srl_greedy_decode_latency"
     assert r["value"] > 0
+    assert "roofline_frac" not in r  # analytic model is real-dims-only
 
     r = bench.bench_srl_decode(bs=2, iters=1, beam=2)
     assert r["metric"] == "srl_beam2_decode_latency"
     assert r["value"] > 0
+
+
+def test_seg_schedule_partitions_budget():
+    import bench
+
+    for budget, seg_min in [(201, 64), (201, 0), (201, 400), (1024, 64),
+                            (7, 2)]:
+        sched = bench._seg_schedule(budget, seg_min)
+        assert sum(n for n, _ in sched) == budget
+        assert all(c >= n for n, c in sched)
+        # cache never shrinks across segments
+        caps = [c for _, c in sched]
+        assert caps == sorted(caps)
 
 
 def test_bench_cli_prints_one_json_line():
