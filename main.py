@@ -36,68 +36,10 @@ def parse_cli(argv) -> (str, Dict[str, Any]):
 
 
 def main_fn(cfg, uid: str):
-    from vidsitu_tpu.data import get_data
-    from vidsitu_tpu.evaluation.evaluators import EvalB_Gen
-    from vidsitu_tpu.models.selector import (
-        build_model,
-        build_srl_generate_fn,
-        init_model_variables,
-    )
-    from vidsitu_tpu.parallel.mesh import make_mesh
-    from vidsitu_tpu.train.learner import Learner
+    from vidsitu_tpu.train.build import build_learner
 
-    mesh = make_mesh(cfg)
-    data = get_data(
-        cfg,
-        num_shards=jax.process_count(),
-        shard_id=jax.process_index(),
-    )
-    comm = data.train_dl.dataset.comm
-    model = build_model(cfg, comm)
-    batch = next(iter(data.train_dl))
-    variables = init_model_variables(model, batch, seed=cfg.train.seed)
-    from vidsitu_tpu.train.pretrained import load_pretrained_variables
-
-    variables = load_pretrained_variables(cfg, model, variables)
-
-    if cfg.task_type == "vb_arg":
-        gen_fn = build_srl_generate_fn(cfg, comm, model, mesh=mesh)
-        eval_fn = EvalB_Gen(
-            cfg, comm, gen_fn,
-            split_type="valid" if not cfg.only_test else "test_srl",
-            rank=jax.process_index(), world_size=jax.process_count(),
-            mesh=mesh,
-            # mid-run elasticity (learner.request_resize): lets the
-            # evaluator rebuild the decode fn over the resized mesh
-            gen_builder=lambda m: build_srl_generate_fn(
-                cfg, comm, model, mesh=m
-            ),
-        )
-    elif cfg.task_type == "vb":
-        from vidsitu_tpu.evaluation.evaluators import EvalB
-
-        eval_fn = EvalB(
-            cfg, comm, model,
-            split_type="valid" if not cfg.only_test else "test_verb",
-            rank=jax.process_index(), world_size=jax.process_count(),
-            mesh=mesh,
-        )
-    elif cfg.task_type == "evrel":
-        from vidsitu_tpu.evaluation.evaluators import EvalB_Acc
-
-        eval_fn = EvalB_Acc(
-            cfg, comm, model,
-            split_type="valid" if not cfg.only_test else "test_evrel",
-            rank=jax.process_index(), world_size=jax.process_count(),
-            mesh=mesh,
-        )
-    else:
-        raise NotImplementedError(cfg.task_type)
-
-    learner = Learner(
-        uid=uid, cfg=cfg, model=model, variables=variables, data=data,
-        eval_fn=eval_fn, mesh=mesh,
-    )
+    learner = build_learner(cfg, uid)
+    data = learner.data
 
     if not (cfg.only_val or cfg.only_test or cfg.overfit_batch):
         learner.fit(epochs=cfg.train.epochs, lr=cfg.train.lr)

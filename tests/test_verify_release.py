@@ -107,3 +107,166 @@ def test_release_train_step(tmp_path, capsys):
     assert "[ok]   train step[vb_arg/tx_only]" in out
     assert "[ok]   train step[vb_arg/sfpret_txe_txd_vbarg]" in out
     assert "param tensors updated" in out
+
+
+# --------------------------------------------------------------- --weights
+@pytest.fixture(scope="module")
+def weights_dir(tmp_path_factory):
+    """Fabricate a published-weights directory at REAL schemas but tiny
+    dims (VERDICT r4 #8): HF gpt2/roberta torch weights in their
+    on-disk layout (pytorch_model.bin + config.json), a caffe2 SlowFast
+    blob pickle, and a reference-trained sf_base Learner .pth
+    (module.sf_mdl.* + proj_head.* under model_state_dict)."""
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    from transformers import GPT2Config, GPT2LMHeadModel
+    from transformers import RobertaConfig
+    from transformers import RobertaModel as HFRoberta
+
+    root = tmp_path_factory.mktemp("weights")
+
+    gdir = root / "gpt2"
+    gdir.mkdir()
+    gcfg = GPT2Config(
+        vocab_size=97, n_positions=32, n_embd=32, n_layer=2, n_head=2,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    torch.manual_seed(0)
+    torch.save(GPT2LMHeadModel(gcfg).eval().state_dict(),
+               gdir / "pytorch_model.bin")
+    (gdir / "config.json").write_text(gcfg.to_json_string())
+
+    rdir = root / "roberta"
+    rdir.mkdir()
+    rcfg = RobertaConfig(
+        vocab_size=99, hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=36, type_vocab_size=1, pad_token_id=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        layer_norm_eps=1e-5,
+    )
+    torch.manual_seed(1)
+    torch.save(HFRoberta(rcfg, add_pooling_layer=False).eval().state_dict(),
+               rdir / "pytorch_model.bin")
+    (rdir / "config.json").write_text(rcfg.to_json_string())
+
+    # caffe2 + trained sf_base: fabricate from a depth-26 slowfast model
+    from tests.test_caffe2_converter import _flax_to_caffe2_name
+    from tests.test_slowfast_converter import _fabricate_pysf_sd, _flatten
+    from vidsitu_tpu.data import build_comm, get_data
+    from vidsitu_tpu.data.synth import make_synth_dataset
+    from vidsitu_tpu.models.selector import build_model, init_model_variables
+    from vidsitu_tpu.utils.config import get_cfg_with_overrides
+
+    paths = make_synth_dataset(root / "d", n_train=8, n_valid=4, seed=88,
+                               with_frames=True)
+    cfg = get_cfg_with_overrides(
+        "wsweep",
+        **{
+            **paths, "task_type": "vb", "mdl.mdl_name": "sf_base",
+            "mdl.sf_mdl_name": "slow_fast_nl_r50_8x8",
+            "vid_mdl.resnet.depth": 26, "vid_mdl.crop_size": 32,
+            "vid_mdl.num_frames": 4, "train.bs": 2, "train.nw": 0,
+            "train.dtype": "float32",
+        },
+    )
+    comm = build_comm(cfg)
+    data = get_data(cfg)
+    model = build_model(cfg, comm)
+    variables = init_model_variables(model, next(iter(data.train_dl)))
+    flat_p = _flatten(variables["params"]["backbone"], ("backbone",))
+    flat_s = _flatten(variables["batch_stats"]["backbone"], ("backbone",))
+
+    blobs = {}
+    for path, arr in {**flat_p, **flat_s}.items():
+        name, kind = _flax_to_caffe2_name(path)
+        a = np.asarray(arr)
+        if kind == "conv":
+            a = np.transpose(a, (4, 3, 0, 1, 2))
+        blobs[name] = a
+    with open(root / "SLOWFAST_8x8_R50.pkl", "wb") as f:
+        pickle.dump({"blobs": blobs}, f)
+
+    rng = np.random.default_rng(2)
+    sd = _fabricate_pysf_sd(flat_p, flat_s, multi=True)
+    full = {f"module.sf_mdl.{k}": v for k, v in sd.items()}
+    w = 64 * 32 + 64 * 32 // 8
+    nverbs = len(comm.vb_id_vocab)
+    full["module.proj_head.0.weight"] = rng.standard_normal(
+        (w // 2, w)).astype(np.float32)
+    full["module.proj_head.0.bias"] = np.zeros(w // 2, np.float32)
+    full["module.proj_head.2.weight"] = rng.standard_normal(
+        (nverbs, w // 2)).astype(np.float32)
+    full["module.proj_head.2.bias"] = np.zeros(nverbs, np.float32)
+    torch.save(
+        {"model_state_dict": {k: torch.from_numpy(np.asarray(v))
+                              for k, v in full.items()},
+         "num_it": 7},
+        root / "vb_slow_fast_nl_r50_8x8_model.pth",
+    )
+    # an unrecognizable payload must be reported, not silently ignored
+    torch.save({"mystery.weight": torch.zeros(3)}, root / "unknown.pt")
+    return root
+
+
+def test_weights_sweep(weights_dir, capsys):
+    """--weights converts every artifact with strict key accounting and
+    logit-spot-checks the language models against torch/HF."""
+    rc = main(["--weights", str(weights_dir)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "[ok]   weights[gpt2/pytorch_model.bin]" in out
+    assert "logits == torch/HF" in out
+    assert "[ok]   weights[roberta/pytorch_model.bin]" in out
+    assert "hidden states == torch/HF" in out
+    assert "[ok]   weights[SLOWFAST_8x8_R50.pkl]" in out
+    assert "caffe2/slowfast: strict-converted" in out
+    assert "[ok]   weights[vb_slow_fast_nl_r50_8x8_model.pth]" in out
+    assert "sfbase/slowfast" in out
+    assert "[skip] weights[unknown.pt]" in out and "unrecognized" in out
+
+
+def test_weights_sweep_catches_corruption(weights_dir, tmp_path, capsys):
+    """A checkpoint with an extra (unconsumed) key must FAIL its entry
+    while the rest of the sweep still runs."""
+    import shutil
+
+    import numpy as np
+
+    torch = pytest.importorskip("torch")
+    bad = tmp_path / "badw"
+    shutil.copytree(weights_dir / "gpt2", bad / "gpt2")
+    sd = torch.load(bad / "gpt2" / "pytorch_model.bin", weights_only=True)
+    sd["transformer.h.2.ln_1.weight"] = torch.zeros(32)
+    torch.save(sd, bad / "gpt2" / "pytorch_model.bin")
+    rc = main(["--weights", str(bad)])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "[FAIL] weights[gpt2/pytorch_model.bin]" in out
+    assert "h.2" in out
+
+
+@pytest.mark.slow
+def test_fit_rehearsal_single_task(tmp_path, capsys):
+    """--fit lifecycle on one task: epochs -> beamed validation ->
+    best-ckpt -> leaderboard pkl -> scoring -> resume -> continued
+    epoch, with a machine-readable receipt (VERDICT r4 #1)."""
+    from vidsitu_tpu.verify_release import Report, fit_rehearsal
+
+    rep = Report()
+    receipt = fit_rehearsal(
+        tmp_path / "w", rep, epochs=2,
+        tasks=[("vb_arg", "sfpret_txe_txd_vbarg")],
+    )
+    out = capsys.readouterr().out
+    assert not rep.failed, out
+    t = receipt["tasks"][0]
+    assert t["loss_drop"] > 0
+    assert len(t["trn_loss"]) == 2
+    assert t["resume_epoch"] == 2
+    assert "cider" in t["val_metrics"]
+    assert (tmp_path / "w" / "fit_receipt.json").exists()
+    import os
+
+    assert os.path.exists(t["pred_pkl"])

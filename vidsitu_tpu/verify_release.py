@@ -409,6 +409,277 @@ def _iter_leaves(tree):
         yield tree
 
 
+# ---------------------------------------------------------------- --weights
+# Real-artifact readiness (VERDICT r4 #8): the published files the
+# reference trains from (EXPTS.md:9-42 drive artifacts — the Kinetics
+# caffe2 SLOWFAST pickle, HF gpt2-medium/roberta-base torch weights,
+# and reference-trained Learner .pth checkpoints whose model_state_dict
+# starts with sf_mdl.*) are unreachable in this environment; this sweep
+# is ready to run the moment they are local. Every recognized file is
+# converted with STRICT key accounting, language models are logit-
+# spot-checked against the torch/HF forward of the SAME weights, video
+# trees are checked finite.
+
+_WEIGHT_SUFFIXES = (".pkl", ".bin", ".pt", ".pth", ".ckpt")
+
+# every published GPT-2 uses 64-dim heads (small 768/12 ... xl 1600/25)
+_GPT2_HEAD_DIM = 64
+
+
+def _read_hf_config(path: Path) -> dict:
+    cfgf = path.parent / "config.json"
+    if cfgf.exists():
+        try:
+            return json.loads(cfgf.read_text())
+        except Exception:
+            return {}
+    return {}
+
+
+def _classify_torch_sd(sd: dict) -> Optional[str]:
+    for k in sd:
+        k = k[len("module."):] if k.startswith("module.") else k
+        if k.startswith("sf_mdl."):
+            return "sfbase"
+        if k.endswith("wte.weight"):
+            return "gpt2"
+        if "word_embeddings.weight" in k:
+            return "roberta"
+    return None
+
+
+def _gpt2_spotcheck(sd: dict, hf_cfg: dict) -> str:
+    """Strict conversion + logit parity of the converted flax decoder vs
+    the torch/HF GPT2LMHeadModel rebuilt from the SAME weights (the
+    exact comparison tests/test_converters_fullsize.py rehearses on the
+    gpt2-medium schema)."""
+    import numpy as np
+
+    from .convert.hf_torch import convert_gpt2
+
+    pre = "transformer." if any(k.startswith("transformer.") for k in sd) \
+        else ""
+    d = sd[f"{pre}wte.weight"].shape[1]
+    vocab = sd[f"{pre}wte.weight"].shape[0]
+    n_pos = sd[f"{pre}wpe.weight"].shape[0]
+    n_layers = 1 + max(
+        int(k.split(".")[1 if not pre else 2]) for k in sd
+        if f"{pre}h." in k or k.startswith("h.")
+    )
+    n_heads = int(hf_cfg.get("n_head", d // _GPT2_HEAD_DIM))
+    ffn = sd[f"{pre}h.0.mlp.c_fc.weight"].shape[-1]
+    params = convert_gpt2(sd, n_layers=n_layers, n_heads=n_heads,
+                          strict=True)
+    n = sum(1 for _ in _iter_leaves(params))
+
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    import jax
+    import jax.numpy as jnp
+
+    from .models.transformer import TransformerDecoder, TxConfig
+
+    hf = GPT2LMHeadModel(GPT2Config(
+        vocab_size=vocab, n_positions=n_pos, n_embd=d, n_layer=n_layers,
+        n_head=n_heads, n_inner=ffn if ffn != 4 * d else None,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )).eval()
+    missing, unexpected = hf.load_state_dict(
+        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+        strict=False,
+    )
+    real_missing = [k for k in missing
+                    if not k.endswith((".attn.bias", ".attn.masked_bias",
+                                       "lm_head.weight"))]
+    if real_missing or unexpected:
+        raise ValueError(
+            f"HF rebuild mismatch: missing={real_missing[:5]} "
+            f"unexpected={list(unexpected)[:5]}"
+        )
+    dec = TransformerDecoder(TxConfig(
+        vocab_size=vocab, d_model=d, ffn_dim=ffn, n_layers=n_layers,
+        n_heads=n_heads, dropout=0.0, max_len=n_pos,
+        normalize_before=True, scale_embed=False, learned_pos=True,
+        share_in_out_embed=True, pad_id=0, activation="gelu",
+        final_ln=True,
+    ), has_cross=False)
+    toks = np.random.default_rng(0).integers(0, vocab, size=(1, 8))
+    with torch.no_grad():
+        ref = hf(torch.tensor(toks)).logits.numpy()
+    ours = np.asarray(jax.jit(
+        lambda t: dec.apply({"params": params}, t)
+    )(jnp.asarray(toks, jnp.int32)))
+    np.testing.assert_allclose(ours, ref, atol=5e-3)
+    err = float(np.abs(ours - ref).mean())
+    return (f"gpt2 {n_layers}L/d{d}: strict-converted {n} leaves, "
+            f"logits == torch/HF (mean |err| {err:.1e})")
+
+
+def _roberta_spotcheck(sd: dict, hf_cfg: dict) -> str:
+    """Strict conversion + hidden-state parity vs the torch/HF RoBERTa
+    encoder rebuilt from the SAME weights."""
+    import numpy as np
+
+    from .convert.hf_torch import convert_roberta
+
+    pre = "roberta." if any(k.startswith("roberta.") for k in sd) else ""
+    emb = f"{pre}embeddings."
+    d = sd[emb + "word_embeddings.weight"].shape[1]
+    vocab = sd[emb + "word_embeddings.weight"].shape[0]
+    max_pos = sd[emb + "position_embeddings.weight"].shape[0]
+    type_vocab = sd[emb + "token_type_embeddings.weight"].shape[0]
+    ffn = sd[f"{pre}encoder.layer.0.intermediate.dense.weight"].shape[0]
+    n_layers = 1 + max(
+        int(k.split("encoder.layer.")[1].split(".")[0]) for k in sd
+        if "encoder.layer." in k
+    )
+    n_heads = int(hf_cfg.get("num_attention_heads",
+                             max(d // _GPT2_HEAD_DIM, 1)))
+    params = convert_roberta(sd, n_layers=n_layers, n_heads=n_heads,
+                             strict=True)
+    n = sum(1 for _ in _iter_leaves(params))
+
+    import torch
+    from transformers import RobertaConfig
+    from transformers import RobertaModel as HFRoberta
+
+    import jax
+    import jax.numpy as jnp
+
+    from .models.roberta import RobertaCfg, RobertaModel
+
+    hf = HFRoberta(RobertaConfig(
+        vocab_size=vocab, hidden_size=d, num_hidden_layers=n_layers,
+        num_attention_heads=n_heads, intermediate_size=ffn,
+        max_position_embeddings=max_pos, type_vocab_size=type_vocab,
+        pad_token_id=1, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, layer_norm_eps=1e-5,
+    ), add_pooling_layer=False).eval()
+    stripped = {
+        k[len(pre):] if k.startswith(pre) else k:
+            torch.from_numpy(np.asarray(v))
+        for k, v in sd.items()
+        if not k.startswith(("lm_head.", "classifier."))
+    }
+    missing, unexpected = hf.load_state_dict(stripped, strict=False)
+    real_missing = [k for k in missing if "position_ids" not in k]
+    real_unexpected = [k for k in unexpected
+                       if "position_ids" not in k and "pooler." not in k]
+    if real_missing or real_unexpected:
+        raise ValueError(
+            f"HF rebuild mismatch: missing={real_missing[:5]} "
+            f"unexpected={real_unexpected[:5]}"
+        )
+    model = RobertaModel(RobertaCfg(
+        vocab_size=vocab, d_model=d, n_layers=n_layers, n_heads=n_heads,
+        ffn_dim=ffn, max_pos=max_pos, pad_id=1, dropout=0.0,
+    ), add_pooling_layer=False)
+    rng = np.random.default_rng(3)
+    toks = rng.integers(3, max(vocab - 5, 4), size=(1, 10))
+    attn = np.ones_like(toks)
+    with torch.no_grad():
+        ref = hf(torch.tensor(toks),
+                 attention_mask=torch.tensor(attn)).last_hidden_state.numpy()
+    out = jax.jit(lambda t, a: model.apply({"params": params}, t, a))(
+        jnp.asarray(toks, jnp.int32), jnp.asarray(attn, jnp.int32)
+    )
+    ours = np.asarray(out["last_hidden_state"])
+    np.testing.assert_allclose(ours, ref, atol=5e-3)
+    err = float(np.abs(ours - ref).mean())
+    return (f"roberta {n_layers}L/d{d}: strict-converted {n} leaves, "
+            f"hidden states == torch/HF (mean |err| {err:.1e})")
+
+
+def _finite_leaves(tree, what: str) -> int:
+    import numpy as np
+
+    n = 0
+    for leaf in _iter_leaves(tree):
+        a = np.asarray(leaf)
+        if not np.isfinite(a).all():
+            raise ValueError(f"non-finite values in {what}")
+        n += 1
+    return n
+
+
+def check_weights_dir(weights_dir: str, arch: str, rep: Report) -> None:
+    """``--weights <dir>``: readiness sweep over a directory of the
+    published artifacts (module comment above). Per file: classify,
+    convert with ``strict=True`` key accounting, spot-check (logit
+    parity for gpt2/roberta, finiteness for video trees). Unrecognized
+    candidates are reported as skips, never silently ignored."""
+    from .convert.caffe2 import load_caffe2_pickle
+
+    root = Path(weights_dir)
+    if not root.exists():
+        rep.fail("weights dir", f"{root} does not exist")
+        return
+    cands = sorted(
+        p for p in root.rglob("*")
+        if p.is_file() and p.suffix.lower() in _WEIGHT_SUFFIXES
+    )
+    if not cands:
+        rep.skip("weights dir", f"no {'/'.join(_WEIGHT_SUFFIXES)} files "
+                                f"under {root}")
+        return
+
+    def _infer_arch(name: str) -> str:
+        # filename carries the reference model tag (EXPTS.md vb table);
+        # the converter only needs the pathway topology: 'slowfast'
+        # (dual) vs single-pathway ('i3d'/'slow')
+        if "slow_fast" in name or "slowfast" in name.lower():
+            return "slowfast"
+        if "i3d" in name.lower():
+            return "i3d"
+        if "slow" in name.lower():
+            return "slow"
+        return arch
+
+    for p in cands:
+        rel = str(p.relative_to(root))
+
+        def _one(p=p, rel=rel):
+            import pickle as _pkl
+
+            if p.suffix.lower() == ".pkl":
+                with open(p, "rb") as f:
+                    data = _pkl.load(f, encoding="latin1")
+                if not isinstance(data, dict):
+                    return "skip", f"{rel}: pickle is not a blob dict"
+                blobs = load_caffe2_pickle(data)
+                if not any(k.endswith("conv1_w") for k in blobs):
+                    return "skip", f"{rel}: no caffe2 conv blobs"
+                from .convert.caffe2 import convert_caffe2_checkpoint
+
+                a = _infer_arch(p.name)
+                tree = convert_caffe2_checkpoint(p, arch=a, strict=True)
+                n = _finite_leaves(tree, rel)
+                return f"caffe2/{a}: strict-converted {n} finite leaves"
+
+            from .convert.hf_torch import load_torch_state_dict
+
+            sd = load_torch_state_dict(str(p))
+            kind = _classify_torch_sd(sd)
+            hf_cfg = _read_hf_config(p)
+            if kind == "gpt2":
+                return _gpt2_spotcheck(sd, hf_cfg)
+            if kind == "roberta":
+                return _roberta_spotcheck(sd, hf_cfg)
+            if kind == "sfbase":
+                from .convert.slowfast_torch import convert_sfbase_checkpoint
+
+                a = _infer_arch(p.name)
+                tree = convert_sfbase_checkpoint(sd, arch=a, strict=True)
+                n = _finite_leaves(tree, rel)
+                return (f"sfbase/{a}: strict-converted {n} finite leaves "
+                        f"(params + batch_stats)")
+            return "skip", (f"{rel}: unrecognized state dict "
+                            f"(first keys: {sorted(sd)[:3]})")
+
+        rep.run(f"weights[{rel}]", _one)
+
+
 # --------------------------------------------------------------- debug epoch
 def _release_cfg(root: Path, vocab_dirs: dict, task_type: str, mdl: str,
                  feats_name: Optional[str] = None):
@@ -552,13 +823,183 @@ def train_step_check(root: Path, vocab_dirs: dict, task_type: str, mdl: str,
     return rep.run(name, _step)
 
 
+# --------------------------------------------------------------- --fit
+# Tiny per-task dims (the test suite's geometry) keep the rehearsal
+# minutes-scale; the lifecycle exercised is the full production one.
+_FIT_TINY_TX = {
+    "gpt2_mdl.d_model": 64, "gpt2_mdl.n_layers": 2, "gpt2_mdl.n_heads": 4,
+    "gpt2_mdl.max_pos": 128,
+    "tx_dec.decoder_embed_dim": 64, "tx_dec.decoder_ffn_embed_dim": 128,
+    "tx_dec.decoder_layers": 2, "tx_dec.decoder_attention_heads": 4,
+    "tx_dec.encoder_embed_dim": 64, "tx_dec.encoder_ffn_embed_dim": 128,
+    "tx_dec.encoder_layers": 2, "tx_dec.encoder_attention_heads": 4,
+}
+_FIT_TINY_VID = {
+    "vid_mdl.resnet.depth": 26, "vid_mdl.crop_size": 32,
+    "vid_mdl.num_frames": 4, "vid_mdl.sampling_rate": 2,
+}
+_FIT_TINY_ROB = {
+    "rob_mdl.d_model": 64, "rob_mdl.n_layers": 2, "rob_mdl.n_heads": 4,
+    "rob_mdl.ffn_dim": 128, "rob_mdl.max_pos": 130,
+}
+_FIT_DIMS = {"vb": _FIT_TINY_VID, "vb_arg": _FIT_TINY_TX,
+             "evrel": _FIT_TINY_ROB}
+
+FIT_TASKS = (
+    ("vb", "sf_base"),
+    ("vb_arg", "sfpret_txe_txd_vbarg"),
+    ("evrel", "rob_evrel"),
+)
+
+
+def fit_rehearsal(work: Path, rep: Report, epochs: int = 2,
+                  tasks=FIT_TASKS) -> dict:
+    """``--fit``: the reference's FULL training lifecycle per task, run
+    for real on the current accelerator (the TPU when present): N train
+    epochs -> per-epoch validation with the production (sharded, beamed)
+    decode -> best-checkpoint save -> final validation from the best
+    model writing the leaderboard-format prediction pkl -> scoring ->
+    resume-by-uid (train.resume) -> one continued epoch. The on-hardware
+    rehearsal of main_dist.py:94-129 + trn_utils.py:788-867, emitting a
+    machine-readable receipt with per-task loss trajectory, metric keys,
+    and wall-clock.
+    """
+    import time
+
+    import jax
+    import numpy as np
+
+    from .data.synth import make_synth_dataset
+    from .train.build import build_learner
+    from .utils.config import get_cfg_with_overrides
+
+    work = Path(work)
+    paths = make_synth_dataset(
+        work / "synth", n_train=8, n_valid=4, seed=5, with_frames=True
+    )
+    receipt: dict = {
+        "platform": jax.devices()[0].platform,
+        "n_devices": jax.device_count(),
+        "epochs": epochs,
+        "tasks": [],
+    }
+
+    for task, mdl in tasks:
+
+        def _one(task=task, mdl=mdl):
+            uid = f"fit_{task}_{mdl}"
+            over = {
+                **paths, **_FIT_DIMS[task],
+                "task_type": task, "mdl.mdl_name": mdl,
+                "train.bs": 8, "train.bsv": 4,
+                "train.nw": 0, "train.nwv": 0,
+                "train.dtype": "float32",
+                "train.epochs": epochs,
+                "misc.tmp_path": str(work / "tmp"),
+            }
+            if task == "vb_arg":
+                # the fairseq-exact 2x-beam candidate flow, not greedy
+                over["gen.beam_size"] = 2
+            t0 = time.perf_counter()
+            cfg = get_cfg_with_overrides(uid, **over)
+            learner = build_learner(cfg, uid)
+            learner.fit(epochs=epochs, lr=1e-3)
+
+            # trn-loss trajectory from the production tracker stream
+            mfile = (
+                Path(cfg.misc.tmp_path) / "tracking"
+                / f"{cfg.expm.exp_name}_{cfg.task_type}" / uid
+                / "metrics.jsonl"
+            )
+            recs = [json.loads(ln)
+                    for ln in mfile.read_text().splitlines()]
+            trn = [r["trn_loss"] for r in recs if "trn_loss" in r]
+            if len(trn) != epochs:
+                raise ValueError(
+                    f"expected {epochs} tracked epochs, got {len(trn)}"
+                )
+            if not all(np.isfinite(trn)):
+                raise ValueError(f"non-finite train loss: {trn}")
+            if trn[-1] >= trn[0]:
+                raise ValueError(
+                    f"train loss did not drop over {epochs} epochs: {trn}"
+                )
+
+            # final validation from the BEST checkpoint, writing the
+            # leaderboard pkl (the run_final_val path, main.py)
+            if not learner.model_file.exists():
+                raise FileNotFoundError(
+                    f"best checkpoint missing: {learner.model_file}"
+                )
+            learner.load_model_dict(str(learner.model_file), load_opt=False)
+            val_loss, val_acc, _ = learner.validate(write_to_file=True)
+            pkl = Path(learner.predictions_dir) / "valid_0.pkl"
+            if not pkl.exists():
+                raise FileNotFoundError(f"prediction pkl missing: {pkl}")
+            for k, v in val_acc.items():
+                if not np.isfinite(float(v)):
+                    raise ValueError(f"non-finite metric {k}={v}")
+
+            # resume-by-uid: a fresh stack re-running the same uid
+            # (train.resume, learner.py:117-128) must restore epoch
+            # counters + optimizer and keep training
+            rcfg = get_cfg_with_overrides(
+                uid, **{**over, "train.resume": True}
+            )
+            learner2 = build_learner(rcfg, uid)
+            if learner2.num_epoch != epochs:
+                raise ValueError(
+                    f"resume restored epoch {learner2.num_epoch}, "
+                    f"expected {epochs}"
+                )
+            learner2.fit(epochs=1, lr=1e-3)
+            recs2 = [json.loads(ln)
+                     for ln in mfile.read_text().splitlines()]
+            trn2 = [r["trn_loss"] for r in recs2 if "trn_loss" in r]
+            cont = trn2[-1]
+            if len(trn2) != epochs + 1 or not np.isfinite(cont):
+                raise ValueError(
+                    f"continued epoch not tracked/finite: {trn2}"
+                )
+
+            wall = time.perf_counter() - t0
+            entry = {
+                "task": task, "mdl": mdl,
+                "trn_loss": [round(float(x), 4) for x in trn],
+                "loss_drop": round(float(trn[0] - trn[-1]), 4),
+                "val_metrics": {k: round(float(v), 4)
+                                for k, v in val_acc.items()},
+                "val_loss": round(float(val_loss.get("loss", 0.0)), 4),
+                "pred_pkl": str(pkl),
+                "resume_epoch": epochs,
+                "continued_loss": round(float(cont), 4),
+                "wall_s": round(wall, 1),
+            }
+            receipt["tasks"].append(entry)
+            met = ", ".join(f"{k}={v:.3f}"
+                            for k, v in entry["val_metrics"].items())
+            return (
+                f"loss {trn[0]:.3f}->{trn[-1]:.3f}, resumed+1ep "
+                f"{cont:.3f}, {met}, {wall:.0f}s"
+            )
+
+        rep.run(f"fit[{task}/{mdl}]", _one)
+
+    out = work / "fit_receipt.json"
+    out.write_text(json.dumps(receipt, indent=1))
+    print("FIT_RECEIPT " + json.dumps(receipt))
+    return receipt
+
+
 # ------------------------------------------------------------------- driver
 def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(
         prog="python -m vidsitu_tpu.verify_release",
         description=__doc__.split("\n\n")[0],
     )
-    ap.add_argument("--dir", required=True, help="VidSitu release root")
+    ap.add_argument("--dir", default=None,
+                    help="VidSitu release root (optional with --fit, "
+                         "which rehearses on synthetic data)")
     ap.add_argument("--caffe2_ckpt", default=None)
     ap.add_argument("--sfbase_ckpt", default=None)
     ap.add_argument("--roberta_tok_dir", default=None)
@@ -576,10 +1017,50 @@ def main(argv: Optional[List[str]] = None) -> int:
                          "passes, so it is skipped under --no_epoch")
     ap.add_argument("--arch", default="slowfast",
                     help="backbone arch for --caffe2_ckpt conversion")
+    ap.add_argument("--weights", default=None, metavar="DIR",
+                    help="readiness sweep over a directory of published "
+                         "weight files (caffe2 SLOWFAST pickle, HF "
+                         "gpt2/roberta torch weights, reference-trained "
+                         "sf_base .pth): strict-key conversion + logit "
+                         "spot-check vs torch/HF. Runs standalone "
+                         "(no --dir needed)")
+    ap.add_argument("--fit", action="store_true",
+                    help="run the FULL training lifecycle per task on "
+                         "the current accelerator (synthetic data, tiny "
+                         "dims): N epochs -> sharded beam validation -> "
+                         "best-ckpt save -> leaderboard pkl -> scoring "
+                         "-> resume-by-uid -> one continued epoch; "
+                         "writes fit_receipt.json. Runs standalone "
+                         "(no --dir needed)")
+    ap.add_argument("--fit_epochs", type=int, default=2,
+                    help="epochs per task for --fit (default 2)")
+    ap.add_argument("--fit_dir", default=None,
+                    help="work dir for --fit (default "
+                         "<dir>/fit_rehearsal or a temp dir)")
     args = ap.parse_args(argv)
 
-    root = Path(args.dir)
     rep = Report()
+    if args.dir is None and not (args.fit or args.weights):
+        ap.error("--dir is required unless running --fit or --weights "
+                 "standalone")
+
+    if args.dir is None:
+        if args.weights:
+            check_weights_dir(args.weights, args.arch, rep)
+        if args.fit:
+            import tempfile
+
+            fit_work = Path(
+                args.fit_dir or tempfile.mkdtemp(prefix="vfit_")
+            )
+            fit_rehearsal(fit_work, rep, epochs=args.fit_epochs)
+        print(
+            f"\n{len(rep.passed)} ok, {len(rep.failed)} failed, "
+            f"{len(rep.skipped)} skipped"
+        )
+        return len(rep.failed)
+
+    root = Path(args.dir)
     if not root.exists():
         rep.fail("release dir", f"{root} does not exist")
         return 1
@@ -698,6 +1179,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                               ("vb_arg", "sfpret_txe_txd_vbarg"),
                               ("evrel", "rob_evrel")):
                 _step_skip(task, mdl, "vocab conversion failed above")
+
+    # 6. full-lifecycle fit rehearsal (synthetic data; independent of
+    # the release artifacts above, so it runs even if they failed)
+    if args.fit:
+        fit_rehearsal(Path(args.fit_dir or (root / "fit_rehearsal")),
+                      rep, epochs=args.fit_epochs)
 
     print(
         f"\n{len(rep.passed)} ok, {len(rep.failed)} failed, "
