@@ -42,17 +42,11 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_train_and_merged_eval(tmp_path):
-    paths = make_synth_dataset(tmp_path, n_train=8, n_valid=4, seed=77)
-    args = [f"--{k}={v}" for k, v in paths.items()]
-    cmd = [
-        sys.executable, "main.py", "mh", "--task_type=vb_arg",
-        "--mdl.mdl_name=tx_only", "--train.bs=4", "--train.bsv=4",
-        "--train.epochs=1", "--train.nw=0", "--train.nwv=0",
-        "--gen.max_len_b=20", "--run_final_val=False",
-        f"--misc.tmp_path={tmp_path}/tmp",
-    ] + TINY_TX + args
-
+def _launch_pair(cmd, tmp_path, timeout):
+    """Start both ranks on a fresh port (with a SHARED persistent XLA
+    compile cache so a retry — and the lagging rank — reuse compiled
+    executables instead of recompiling under host load) and wait.
+    Returns [(rc, out), ...], or None on timeout (retryable)."""
     port = _free_port()
     procs = []
     for pid in range(2):
@@ -65,6 +59,7 @@ def test_two_process_train_and_merged_eval(tmp_path):
                 "VIDSITU_COORD": f"127.0.0.1:{port}",
                 "VIDSITU_NPROCS": "2",
                 "VIDSITU_PROC_ID": str(pid),
+                "VIDSITU_COMPILE_CACHE": str(tmp_path / "xla_cache"),
                 "PYTHONPATH": str(REPO) + os.pathsep + env_get_pp(),
             }
         )
@@ -75,9 +70,43 @@ def test_two_process_train_and_merged_eval(tmp_path):
             )
         )
     outs = []
+    timed_out = False
     for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append((p.returncode, out))
+        try:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append((p.returncode, out))
+        except subprocess.TimeoutExpired:
+            timed_out = True
+            p.kill()
+            p.communicate()
+    if timed_out:
+        for p in procs:  # don't leak the partner rank
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
+        return None
+    return outs
+
+
+def test_two_process_train_and_merged_eval(tmp_path):
+    paths = make_synth_dataset(tmp_path, n_train=8, n_valid=4, seed=77)
+    args = [f"--{k}={v}" for k, v in paths.items()]
+    cmd = [
+        sys.executable, "main.py", "mh", "--task_type=vb_arg",
+        "--mdl.mdl_name=tx_only", "--train.bs=4", "--train.bsv=4",
+        "--train.epochs=1", "--train.nw=0", "--train.nwv=0",
+        "--gen.max_len_b=20", "--run_final_val=False",
+        f"--misc.tmp_path={tmp_path}/tmp",
+    ] + TINY_TX + args
+
+    # one bounded retry: under heavy host load the first attempt can
+    # blow the wall clock while both ranks compile; the retry starts
+    # from the warm shared compile cache and the same uid (resume=false
+    # retrains from scratch, so the assertions are unchanged)
+    outs = _launch_pair(cmd, tmp_path, timeout=1200)
+    if outs is None or any(rc != 0 for rc, _ in outs):
+        outs = _launch_pair(cmd, tmp_path, timeout=1200)
+    assert outs is not None, "both attempts timed out"
     for i, (rc, out) in enumerate(outs):
         assert rc == 0, f"proc {i} failed:\n{out[-4000:]}"
 
