@@ -24,7 +24,10 @@ def cache_restore():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", old_sz)
 
 
-def test_disabled_by_default(cache_restore):
+def test_disabled_by_default(cache_restore, monkeypatch):
+    # a dev shell may export VIDSITU_COMPILE_CACHE; "default" means
+    # neither the env var nor the cfg key is set
+    monkeypatch.delenv("VIDSITU_COMPILE_CACHE", raising=False)
     cfg = get_cfg_with_overrides("cc_off")
     assert cfg.tpu.compile_cache_dir == ""
     assert enable_compile_cache(cfg) == ""
