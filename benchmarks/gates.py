@@ -7,8 +7,10 @@ Gates:
      essence). The fused bottleneck kernel (probe_fused_bottleneck.py)
      moves ~2.5x fewer HBM bytes than XLA's unfused chain but runs on
      the pallas DMA pipeline; it flips profitable when the floor
-     crosses ~550 GB/s (~80% of XLA's). Decision output:
-     FLIP -> re-measure cfg.tpu.fuse_inference=on in-model.
+     crosses ~550 GB/s (~80% of XLA's). Decision output: FLIP -> the
+     fused kernel (evicted from the package in round 5; now a
+     gate-only probe, benchmarks/probe_fused_bottleneck.py) is worth
+     re-measuring in-model before any re-land.
   2. pallas row-DMA beam gather correctness (micro14 full A/B). The
      kernel corrupted decode tokens under specific whole-program XLA
      buffer assignments on the round-3 axon stacks (BENCH.md "layout

@@ -227,6 +227,43 @@ def test_weights_sweep(weights_dir, capsys):
     assert "[skip] weights[unknown.pt]" in out and "unrecognized" in out
 
 
+def test_weights_sweep_unprefixed_gpt2(tmp_path, capsys):
+    """The hub-published gpt2/gpt2-medium layout stores the backbone
+    keys UNprefixed ('wte.weight', 'h.0. ...' — transformers adds the
+    'transformer.' base_model_prefix at load time); the spot-check must
+    rebuild the HF model from that layout too (round-5 review fix)."""
+    torch = pytest.importorskip("torch")
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    gdir = tmp_path / "gpt2_hub"
+    gdir.mkdir()
+    gcfg = GPT2Config(
+        vocab_size=97, n_positions=32, n_embd=32, n_layer=2, n_head=2,
+        resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+    )
+    torch.manual_seed(4)
+    torch.save(GPT2LMHeadModel(gcfg).eval().transformer.state_dict(),
+               gdir / "pytorch_model.bin")
+    (gdir / "config.json").write_text(gcfg.to_json_string())
+    rc = main(["--weights", str(tmp_path)])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "[ok]   weights[gpt2_hub/pytorch_model.bin]" in out
+    assert "logits == torch/HF" in out
+
+
+def test_weights_honored_alongside_dir(release, weights_dir, capsys):
+    """`--dir X --weights Y` must run BOTH surfaces — the weights sweep
+    used to be silently dropped when a release dir was also given
+    (round-5 review fix). --no_epoch keeps the combined run cheap."""
+    rc = main(["--dir", str(release), "--weights", str(weights_dir),
+               "--no_epoch"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "[ok]   weights[gpt2/pytorch_model.bin]" in out
+    assert "[ok]   weights[SLOWFAST_8x8_R50.pkl]" in out
+
+
 def test_weights_sweep_catches_corruption(weights_dir, tmp_path, capsys):
     """A checkpoint with an extra (unconsumed) key must FAIL its entry
     while the rest of the sweep still runs."""
@@ -253,6 +290,14 @@ def test_fit_rehearsal_single_task(tmp_path, capsys):
     best-ckpt -> leaderboard pkl -> scoring -> resume -> continued
     epoch, with a machine-readable receipt (VERDICT r4 #1)."""
     from vidsitu_tpu.verify_release import Report, fit_rehearsal
+
+    # pre-seed a stale tracker stream from a "previous rehearsal" in the
+    # same work dir: the tracker appends, so --fit must drop it or the
+    # epoch-count check reads 3 records (round-5 review fix)
+    stale = (tmp_path / "w" / "tmp" / "tracking" / "vsitu_fin_vb_arg"
+             / "fit_vb_arg_sfpret_txe_txd_vbarg" / "metrics.jsonl")
+    stale.parent.mkdir(parents=True)
+    stale.write_text('{"trn_loss": 99.9}\n')
 
     rep = Report()
     receipt = fit_rehearsal(

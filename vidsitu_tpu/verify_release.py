@@ -485,10 +485,16 @@ def _gpt2_spotcheck(sd: dict, hf_cfg: dict) -> str:
         n_head=n_heads, n_inner=ffn if ffn != 4 * d else None,
         resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
     )).eval()
-    missing, unexpected = hf.load_state_dict(
-        {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
-        strict=False,
-    )
+    torch_sd = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    if pre:
+        missing, unexpected = hf.load_state_dict(torch_sd, strict=False)
+    else:
+        # hub-published gpt2/gpt2-medium checkpoints store the backbone
+        # keys unprefixed (transformers adds base_model_prefix on load)
+        # — load them into the backbone module directly
+        missing, unexpected = hf.transformer.load_state_dict(
+            torch_sd, strict=False
+        )
     real_missing = [k for k in missing
                     if not k.endswith((".attn.bias", ".attn.masked_bias",
                                        "lm_head.weight"))]
@@ -902,15 +908,20 @@ def fit_rehearsal(work: Path, rep: Report, epochs: int = 2,
                 over["gen.beam_size"] = 2
             t0 = time.perf_counter()
             cfg = get_cfg_with_overrides(uid, **over)
-            learner = build_learner(cfg, uid)
-            learner.fit(epochs=epochs, lr=1e-3)
-
-            # trn-loss trajectory from the production tracker stream
             mfile = (
                 Path(cfg.misc.tmp_path) / "tracking"
                 / f"{cfg.expm.exp_name}_{cfg.task_type}" / uid
                 / "metrics.jsonl"
             )
+            # the tracker appends: drop any stream from a previous
+            # rehearsal in the same work dir so the epoch-count check
+            # below sees only this run (idempotent re-runs)
+            if mfile.exists():
+                mfile.unlink()
+            learner = build_learner(cfg, uid)
+            learner.fit(epochs=epochs, lr=1e-3)
+
+            # trn-loss trajectory from the production tracker stream
             recs = [json.loads(ln)
                     for ln in mfile.read_text().splitlines()]
             trn = [r["trn_loss"] for r in recs if "trn_loss" in r]
@@ -1180,7 +1191,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                               ("evrel", "rob_evrel")):
                 _step_skip(task, mdl, "vocab conversion failed above")
 
-    # 6. full-lifecycle fit rehearsal (synthetic data; independent of
+    # 6. real published-weights sweep (optional; also honored when a
+    # --dir release check runs, so `--dir X --weights Y` does both
+    # rather than silently dropping the weights sweep)
+    if args.weights:
+        check_weights_dir(args.weights, args.arch, rep)
+
+    # 7. full-lifecycle fit rehearsal (synthetic data; independent of
     # the release artifacts above, so it runs even if they failed)
     if args.fit:
         fit_rehearsal(Path(args.fit_dir or (root / "fit_rehearsal")),
