@@ -144,6 +144,51 @@ def test_prep_parse_and_pool():
             extract_frames("x.mp4", "/tmp/fr", "v_a_seg_0_10")
 
 
+def test_download_clip_idempotent_rerun(tmp_path, monkeypatch):
+    """An already-downloaded, size+frame-valid clip is kept as-is: no
+    yt-dlp/ffmpeg subprocess runs on a rerun (round-5 review fix — a
+    29k-segment rerun used to re-download everything)."""
+    from vidsitu_tpu import prep
+
+    seg = "v_abc_seg_10_20"
+    out = tmp_path / f"{seg}.mp4"
+    out.write_bytes(b"x" * 30_000)
+    monkeypatch.setattr(prep.shutil, "which", lambda b: f"/bin/{b}")
+    monkeypatch.setattr(prep, "count_frames", lambda p: 300)
+
+    def no_run(*a, **k):
+        raise AssertionError("no subprocess should run on a valid rerun")
+
+    monkeypatch.setattr(prep.subprocess, "run", no_run)
+    assert prep.download_clip(seg, tmp_path) == out
+
+
+def test_download_clip_failure_leaves_no_partial(tmp_path, monkeypatch):
+    """A persistently-undersized download returns None AND removes the
+    bad mp4 (round-5 review fix — extract_frames treats any existing
+    mp4 as good, so a leftover partial corrupted the frame dump)."""
+    from vidsitu_tpu import prep
+
+    seg = "v_abc_seg_10_20"
+    out = tmp_path / f"{seg}.mp4"
+    monkeypatch.setattr(prep.shutil, "which", lambda b: f"/bin/{b}")
+    sleeps = []
+    monkeypatch.setattr(prep.time, "sleep", sleeps.append)
+
+    class _R:
+        stdout = "http://u\n"
+
+    def fake_run(cmd, **k):
+        if cmd[0] == "ffmpeg":
+            out.write_bytes(b"tiny")  # truncated stream product
+        return _R()
+
+    monkeypatch.setattr(prep.subprocess, "run", fake_run)
+    assert prep.download_clip(seg, tmp_path, retries=2) is None
+    assert not out.exists()
+    assert len(sleeps) == 2  # backoff applies to the size-fail path too
+
+
 def test_packed_stem_conv_matches_plain_conv():
     """_PackedStemConv (output-packed stride-2 conv) == plain nn.Conv with
     the same canonical kernel, for both fast-stem and odd-size geometry."""

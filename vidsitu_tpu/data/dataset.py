@@ -171,9 +171,10 @@ class VsituDS:
                 for ag in arg_lst_sorted:
                     arg_str = arg_str_dct[ag]
                     ag_n = arg_mapper(ag)
-                    if not (is_evrel and self.cfg.evrel_trimmed):
-                        seq += " " + enclose_ag_st(ag_n, arg_str)
-                    elif self.cfg.evrel_trimmed and ag_n in agset:
+                    # evrel+trimmed keeps only the core args (agset);
+                    # every other mode keeps all of them
+                    if (not (is_evrel and self.cfg.evrel_trimmed)
+                            or ag_n in agset):
                         seq += " " + enclose_ag_st(ag_n, arg_str)
 
                 evr = ann1.get("EvRel", "Null")

@@ -9,6 +9,7 @@ semantics match the reference exactly.
 from __future__ import annotations
 
 import os
+import uuid
 from pathlib import Path
 from typing import Dict, List, Optional
 
@@ -143,7 +144,13 @@ def write_segment_cache(
             [arr, np.repeat(arr[-1:], max_frms - n, axis=0)], axis=0
         )
     path.parent.mkdir(parents=True, exist_ok=True)
-    tmp = path.with_suffix(f".tmp{os.getpid()}.npy")
+    # pid alone is NOT unique across hosts sharing the cache dir
+    # (containerized workers repeat pid sequences), so key the tmp by a
+    # fresh uuid too — concurrent builders of the same segment must
+    # never interleave into one tmp file and publish a torn track
+    tmp = path.with_suffix(
+        f".tmp{os.getpid()}_{uuid.uuid4().hex[:8]}.npy"
+    )
     np.save(tmp, arr)
     os.replace(tmp, path)
     return path

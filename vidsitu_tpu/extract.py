@@ -36,10 +36,10 @@ class FramesOnlyDS:
         base = VsituDS(cfg, comm, split_type, task_type="vb")
         self.base = base
         self.vseg_lst = base.vseg_lst
-        self.debug = cfg.debug_mode
 
     def __len__(self):
-        return min(30, len(self.vseg_lst)) if self.debug else len(self.vseg_lst)
+        # delegate: VsituDS owns the debug-mode cap (dataset.py)
+        return len(self.base)
 
     def __getitem__(self, idx: int):
         out = self.base.get_frms_all(idx)
@@ -90,6 +90,7 @@ def extract_features(
     device works (dispatch is async, the np.asarray fetch synchronizes).
     """
     import os
+    import uuid
     from collections import deque
 
     from .models.vb_models import VbVideoModel
@@ -124,10 +125,15 @@ def extract_features(
     # on v5e, a gap layout-pinning does not close).
     _fwd_cache: Dict[int, object] = {}
 
-    def fwd(v, b):
+    def fwd(b):
+        # `variables` is deliberately a closure constant (baked into
+        # the executable at first trace) — do NOT turn it into a
+        # parameter: per-call params would defeat the constant folding,
+        # and a param that is only read on the first call would
+        # silently ignore later swaps
         if not _fwd_cache:
             _fwd_cache[0] = jax.jit(lambda bb: model.apply(
-                v, bb, method=VbVideoModel.clip_features))
+                variables, bb, method=VbVideoModel.clip_features))
         return _fwd_cache[0](b)
     # multi-host: shard segments across processes (featext is
     # embarrassingly parallel; without this every host would re-extract
@@ -151,8 +157,12 @@ def extract_features(
             nonlocal n
             # tmp + atomic rename: a crash (or, across hosts, the
             # sampler's pad duplicates) must never leave a torn
-            # .npy that downstream training silently loads
-            tmp = out_dir / f".{seg}_feats.{os.getpid()}.npy.tmp"
+            # .npy that downstream training silently loads; pid is
+            # not unique across hosts sharing the dir, hence the uuid
+            tmp = out_dir / (
+                f".{seg}_feats.{os.getpid()}_"
+                f"{uuid.uuid4().hex[:8]}.npy.tmp"
+            )
             with open(tmp, "wb") as f:  # np.save(path) would append .npy
                 np.save(f, arr)
             os.replace(tmp, out_dir / f"{seg}_feats.npy")
@@ -211,7 +221,7 @@ def extract_features(
                        for k, v in dev_np.items()}
             else:
                 dev = {k: jnp.asarray(v) for k, v in dev_np.items()}
-            out = fwd(variables, dev)  # async dispatch
+            out = fwd(dev)  # async dispatch
             if pending is not None:
                 flush(pending)
             pending = (out, n_valid)

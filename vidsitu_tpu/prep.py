@@ -67,6 +67,20 @@ def download_clip(
     out_dir.mkdir(parents=True, exist_ok=True)
     ytid, st, en = parse_seg_name(vid_seg)
     out_path = out_dir / f"{vid_seg}.mp4"
+
+    def _valid() -> bool:
+        if not (out_path.exists()
+                and out_path.stat().st_size >= min_bytes):
+            return False
+        if shutil.which("ffprobe") is None:
+            return True
+        try:
+            return count_frames(out_path) >= (en - st) * MIN_SRC_FPS
+        except subprocess.SubprocessError:
+            return False  # unprobeable container == corrupt
+
+    if _valid():
+        return out_path  # idempotent rerun: keep the validated clip
     for attempt in range(retries):
         try:
             cookie_args = (
@@ -83,15 +97,16 @@ def download_clip(
                  str(out_path)],
                 capture_output=True, timeout=300, check=True,
             )
-            if out_path.exists() and out_path.stat().st_size >= min_bytes:
-                if shutil.which("ffprobe") is not None and (
-                    count_frames(out_path) < (en - st) * MIN_SRC_FPS
-                ):
-                    out_path.unlink()  # truncated stream — retry
-                    raise subprocess.SubprocessError("short download")
+            if _valid():
                 return out_path
+            # undersized/truncated/unprobeable: drop the bad file
+            # (extract_frames treats any existing mp4 as good) and
+            # fall to the backoff below before re-hitting YouTube
+            out_path.unlink(missing_ok=True)
+            raise subprocess.SubprocessError("invalid download")
         except (subprocess.SubprocessError, IndexError):
             time.sleep(2.0 * (attempt + 1))
+    out_path.unlink(missing_ok=True)  # never leave a failed partial
     return None
 
 
@@ -298,9 +313,12 @@ def main(argv=None):
                  if isinstance(v, int) and v >= MIN_FRAMES)
         short = [s for s, v in res.items()
                  if isinstance(v, int) and 0 < v < MIN_FRAMES]
+        errs = [s for s, v in res.items() if isinstance(v, Exception)]
         print(f"extracted {ok}/{len(segs)}"
               + (f" ({len(short)} SHORT, e.g. {short[:3]} — rerun to "
-                 f"retry)" if short else ""))
+                 f"retry)" if short else "")
+              + (f" ({len(errs)} ERRORED, e.g. {errs[:3]} — missing or"
+                 f" corrupt mp4; rerun dwn_vids)" if errs else ""))
 
 
 if __name__ == "__main__":
