@@ -167,6 +167,23 @@ def _fabricate_pysf_sd(flat_params, flat_stats, multi):
     return sd
 
 
+def test_sfbase_strict_rejects_unconsumed_top_level(monkeypatch):
+    """strict mode must audit keys OUTSIDE sf_mdl.* too: cls_head./
+    EMA-copy keys used to be silently dropped (round-5 review fix)."""
+    from vidsitu_tpu.convert import slowfast_torch as st
+
+    monkeypatch.setattr(
+        st, "convert_video_backbone",
+        lambda sd, arch, strict=False: ({}, {}),
+    )
+    good = {"module.sf_mdl.s1.x": np.zeros(1, np.float32)}
+    st.convert_sfbase_checkpoint(dict(good), "slow", strict=True)
+    bad = dict(good)
+    bad["module.cls_head.weight"] = np.zeros((2, 2), np.float32)
+    with pytest.raises(ValueError, match="cls_head"):
+        st.convert_sfbase_checkpoint(bad, "slow", strict=True)
+
+
 @pytest.mark.parametrize("arch_name,arch", [
     ("slow_fast_nl_r50_8x8", "slowfast"),
     ("i3d_r50_nl_8x8", "i3d"),

@@ -54,6 +54,37 @@ def test_bpe_matches_hf_slow_tokenizer(bpe, tmp_path):
         assert ours == theirs, t
 
 
+def test_decode_cleanup_matches_hf(bpe, tmp_path):
+    """decode applies HF's clean_up_tokenization_spaces by default —
+    the reference decodes generated SRL text with the HF default True
+    (evl_vsitu.py:203) before parsing, so ' .' collapses to '.'."""
+    transformers = pytest.importorskip("transformers")
+    d = tmp_path / "voc"
+    bpe.save_dir(d)
+    hf = transformers.GPT2Tokenizer(
+        vocab_file=str(d / "vocab.json"), merges_file=str(d / "merges.txt")
+    )
+    tok = make_gpt2_tokenizer(bpe)
+    for s in ["a man walks .", "a dog , a cat .", "so fast !",
+              "a man 's dog"]:
+        ids = bpe.encode_ordinary(s)
+        assert tok.decode(ids) == hf.decode(
+            ids, clean_up_tokenization_spaces=True
+        ), s
+    # the raw byte-exact decode stays available
+    ids = bpe.encode_ordinary("a man walks .")
+    assert tok.decode(
+        ids, clean_up_tokenization_spaces=False
+    ) == "a man walks ."
+
+
+def test_decode_unknown_id_raises(bpe):
+    """Out-of-vocab ids fail loudly (wrong vocab dir), never silently
+    truncate the hypothesis string."""
+    with pytest.raises(KeyError, match="not in this vocab"):
+        bpe.decode_ordinary([10 ** 6])
+
+
 def test_added_tokens_atomic(bpe):
     tok = make_gpt2_tokenizer(bpe)
     tok.add_special_tokens({"additional_special_tokens": ["<Arg0>", "</Arg0>"]})

@@ -78,9 +78,9 @@ def convert_video_backbone(
     def pathway_name(p: int) -> str:
         return "slow" if p == 0 else "fast"
 
-    def put_convbn(dst_prefix: Tuple[str, ...], src_prefix: str, bn_name=None):
-        bn = bn_name or (src_prefix[: -len(".conv")] + ".bn"
-                         if src_prefix.endswith(".conv") else src_prefix + "_bn")
+    def put_convbn(dst_prefix: Tuple[str, ...], src_prefix: str,
+                   bn_name: str):
+        bn = bn_name
         w = sd[src_prefix + ".weight"]
         _set(params, dst_prefix + ("conv", "kernel"), _conv_w(w))
         _set(params, dst_prefix + ("bn", "scale"), sd[bn + ".weight"])
@@ -159,6 +159,8 @@ def convert_sfbase_checkpoint(
     params: Dict[str, Any] = {"backbone": bparams}
     stats: Dict[str, Any] = {"backbone": bstats}
     # proj_head: nn.Sequential(Linear, ReLU, Linear) -> MLP layers_{0,1}
+    head_keys = ("proj_head.0.weight", "proj_head.0.bias",
+                 "proj_head.2.weight", "proj_head.2.bias")
     if "proj_head.0.weight" in sd:
         params["proj_head"] = {
             "layers_0": {
@@ -170,4 +172,19 @@ def convert_sfbase_checkpoint(
                 "bias": sd["proj_head.2.bias"],
             },
         }
+    if strict:
+        # the backbone pass only audits the sf_mdl.* subtree — audit the
+        # rest too, or keys like cls_head.*/sf_mdl_ema.* would be
+        # silently dropped under a mode whose contract is "every source
+        # key accounted for"
+        leftover = sorted(
+            k for k in sd
+            if not k.startswith("sf_mdl.") and k not in head_keys
+        )
+        if leftover:
+            raise ValueError(
+                "convert_sfbase_checkpoint(strict): unconsumed keys "
+                f"outside sf_mdl./proj_head: {leftover[:8]}"
+                + ("..." if len(leftover) > 8 else "")
+            )
     return {"params": params, "batch_stats": stats}

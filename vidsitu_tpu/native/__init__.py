@@ -21,7 +21,6 @@ import logging
 import os
 import subprocess
 import sys
-import tempfile
 from pathlib import Path
 from typing import List, Optional
 
@@ -31,22 +30,41 @@ _LIB = None
 _LIB_FAILED = False
 
 
+def _cache_dir() -> Optional[Path]:
+    # default to a USER-OWNED cache (XDG), never the shared system
+    # tempdir: a world-writable predictable path would let another
+    # local user pre-plant a .so that we would then CDLL (arbitrary
+    # code execution); ~/.cache is 0700-protected per user
+    env_cache = os.environ.get("VIDSITU_NATIVE_CACHE")
+    if env_cache:
+        cache = Path(env_cache)
+    else:
+        xdg = os.environ.get("XDG_CACHE_HOME")
+        base = Path(xdg) if xdg else Path.home() / ".cache"
+        cache = base / "vidsitu_tpu" / "native"
+    try:
+        cache.mkdir(parents=True, exist_ok=True, mode=0o700)
+    except OSError as e:
+        # unwritable/uncreatable cache (read-only NFS, sandbox): the
+        # callers keep their pure-Python/PIL paths
+        _LOG.info("native cache dir unavailable (%s): %s", cache, e)
+        return None
+    return cache
+
+
 def _build(
     src_name: str,
     lib_stem: str,
     extra_flags=(),
     extra_deps=(),
     host_specific: bool = False,
+    key_extra: str = "",
 ) -> Optional[Path]:
     src = _SRC_DIR / src_name
-    cache = Path(
-        os.environ.get(
-            "VIDSITU_NATIVE_CACHE",
-            Path(tempfile.gettempdir()) / "vidsitu_tpu_native",
-        )
-    )
-    cache.mkdir(parents=True, exist_ok=True)
-    key = str(sys.version_info[0])
+    cache = _cache_dir()
+    if cache is None:
+        return None
+    key = str(sys.version_info[0]) + key_extra
     if host_specific:
         # -march=native output must never be shared across CPU models
         # (VIDSITU_NATIVE_CACHE on NFS across a heterogeneous fleet would
@@ -94,13 +112,61 @@ def _build(
         )
         tmp.unlink(missing_ok=True)
         return None
-    os.replace(tmp, lib)
+    try:
+        os.replace(tmp, lib)
+    except OSError as e:
+        _LOG.info("native %s publish failed: %s", lib_stem, e)
+        tmp.unlink(missing_ok=True)
+        return None
     return lib
 
 
+def _runtime_unicode_header() -> Optional[Path]:
+    """Regenerate unicode_tables.h from the RUNTIME regex module into
+    the cache (keyed by regex version), so the C++ pre-tokenizer
+    classifies \\p{L}/\\p{N}/\\s with exactly the Unicode DB the Python
+    path uses — the committed header would silently diverge after a
+    regex upgrade. Returns None (committed-header fallback) when regex
+    is unavailable or the cache is unwritable."""
+    try:
+        import regex
+    except ImportError:
+        return None
+    cache = _cache_dir()
+    if cache is None:
+        return None
+    hdr = cache / f"unicode_tables_regex{regex.__version__}.h"
+    if hdr.exists():
+        return hdr
+    from . import gen_unicode_tables
+
+    tmp = hdr.with_name(hdr.name + f".tmp{os.getpid()}")
+    try:
+        with open(tmp, "w") as f:
+            gen_unicode_tables.main(f)
+        os.replace(tmp, hdr)
+    except OSError as e:
+        _LOG.info("unicode table regeneration failed: %s", e)
+        tmp.unlink(missing_ok=True)
+        return None
+    return hdr
+
+
 def _build_lib() -> Optional[Path]:
+    hdr = _runtime_unicode_header()
+    flags, deps, key = (), ["unicode_tables.h"], ""
+    if hdr is not None:
+        # quoted-include override; the .so cache key carries the regex
+        # version so a downgrade never reuses a lib built against a
+        # newer Unicode DB (mtime alone cannot tell them apart)
+        flags = (f'-DVIDSITU_UNICODE_TABLES_OVERRIDE="{hdr}"',)
+        deps.append(str(hdr))  # absolute: Path/'abs' resolves to abs
+        import regex
+
+        key = f"_u{regex.__version__}"
     return _build(
-        "bpe_core.cpp", "bpe_core", extra_deps=("unicode_tables.h",)
+        "bpe_core.cpp", "bpe_core", extra_flags=flags,
+        extra_deps=tuple(deps), key_extra=key,
     )
 
 

@@ -19,7 +19,16 @@
 #include <unordered_map>
 #include <vector>
 
+// The build layer (native/__init__.py) regenerates the unicode tables
+// from the RUNTIME regex module's Unicode DB when possible and points
+// the override macro at the fresh header — the committed header is the
+// no-regex fallback only. Keeps C++ and Python pre-tokenization
+// parity-by-construction across regex/Unicode upgrades.
+#ifdef VIDSITU_UNICODE_TABLES_OVERRIDE
+#include VIDSITU_UNICODE_TABLES_OVERRIDE
+#else
 #include "unicode_tables.h"
+#endif
 
 namespace {
 

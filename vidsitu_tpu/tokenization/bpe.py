@@ -162,7 +162,17 @@ class ByteLevelBPE:
         return ids
 
     def decode_ordinary(self, ids: List[int]) -> str:
-        text = "".join(self.decoder[i] for i in ids if i in self.decoder)
+        try:
+            text = "".join(self.decoder[i] for i in ids)
+        except KeyError as e:
+            # loud failure (HF tokenizers raise too): silently dropping
+            # an out-of-vocab id would score truncated hypotheses with
+            # no signal that the wrong vocab dir was loaded
+            raise KeyError(
+                f"token id {e.args[0]} is not in this vocab (size "
+                f"{len(self.encoder)}) — ids from a model built on a "
+                f"different vocab dir?"
+            ) from None
         return bytearray(
             self.byte_decoder[c] for c in text if c in self.byte_decoder
         ).decode("utf-8", errors="replace")

@@ -201,7 +201,23 @@ class BPETokenizer:
         ids = self.encode(text, add_special_tokens=add_special_tokens)
         return {"input_ids": ids, "attention_mask": [1] * len(ids)}
 
-    def decode(self, ids, skip_special_tokens: bool = False) -> str:
+    @staticmethod
+    def clean_up_tokenization(out_string: str) -> str:
+        """transformers' PreTrainedTokenizerBase.clean_up_tokenization,
+        behavior-identical: the reference decodes generated SRL text
+        with the HF default clean_up_tokenization_spaces=True
+        (evl_vsitu.py:203), so ' .' -> '.', \" n't\" -> \"n't\", etc.
+        must be applied before the SRL parser sees the string."""
+        return (
+            out_string.replace(" .", ".").replace(" ?", "?")
+            .replace(" !", "!").replace(" ,", ",").replace(" ' ", "' ")
+            .replace(" n't", "n't").replace(" 'm", "'m")
+            .replace(" 's", "'s").replace(" 've", "'ve")
+            .replace(" 're", "'re")
+        )
+
+    def decode(self, ids, skip_special_tokens: bool = False,
+               clean_up_tokenization_spaces: bool = True) -> str:
         ids = [int(i) for i in ids]
         if skip_special_tokens:
             ids = [i for i in ids if i not in self._special_ids]
@@ -220,7 +236,10 @@ class BPETokenizer:
             else:
                 run.append(i)
         flush()
-        return "".join(pieces)
+        out = "".join(pieces)
+        if clean_up_tokenization_spaces:
+            out = self.clean_up_tokenization(out)
+        return out
 
     # -- persistence --------------------------------------------------------------
     def save_dir(self, out_dir) -> None:
