@@ -165,6 +165,27 @@ def test_tp_equals_single_device(env, shape, axes):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
 
 
+def test_eval_batch_divisibility_uses_data_extent(env):
+    """bsv must divide the data*fsdp extent, NOT the device count: a
+    'model' axis replicates the batch. bsv=2 on a (data=2, model=4)
+    mesh is legal — the evaluator used to assert bsv %% 8 == 0
+    (round-5 review fix)."""
+    from vidsitu_tpu.parallel.mesh import data_extent, make_mesh
+
+    cfg = mk(
+        env, "tp_bsv2",
+        **{"tpu.mesh_shape": [2, 4],
+           "tpu.mesh_axis_names": ["data", "model"],
+           "train.bsv": 2},
+    )
+    mesh = make_mesh(cfg)
+    assert data_extent(mesh) == 2
+    learner, _ = _make_learner(cfg, mesh=mesh)
+    learner.overfit_batch(epochs=1, lr=1e-3)
+    val_loss, metrics, _ = learner.validate()
+    assert "cider" in metrics
+
+
 def test_tp_mesh_forward_allreduce_schedule(env):
     """Compiled TP train step carries model-axis all-reduces (the
     row-parallel forward reductions), i.e. the transformer really

@@ -1,8 +1,8 @@
 """In-loop evaluators: decode/score during validation
 (reference: vidsitu_code/evl_vsitu.py).
 
-Each evaluator is a callable ``(variables, dl, dl_name, pred_path,
-write_to_file) -> (loss_dict, metric_dict)`` handed to the Learner. They
+Each evaluator is a callable ``(variables, dl, dl_name, pred_path)
+-> (loss_dict, metric_dict)`` handed to the Learner. They
 run the jitted forward/generate path over the loader, assemble
 leaderboard-format prediction lists, write ``{dl_name}_{rank}.pkl``, and
 score through evl_fns.
@@ -103,6 +103,29 @@ class _BaseEvaluator:
     def score(self, fname: str) -> Dict:
         raise NotImplementedError
 
+    def _run_token(self) -> str:
+        """Per-run marker token, identical across ranks (rank 0's uuid,
+        broadcast). Distinguishes THIS run's .done markers from a
+        crashed prior run's with the same uid and sequence number."""
+        tok = getattr(self, "_merge_token", None)
+        if tok is None:
+            import uuid as _uuid
+
+            tok = _uuid.uuid4().hex[:8]
+            if self.world_size > 1:
+                try:
+                    from jax.experimental import multihost_utils as _mhu
+
+                    arr = np.frombuffer(tok.encode(), dtype=np.uint8)
+                    tok = bytes(
+                        np.asarray(_mhu.broadcast_one_to_all(arr))
+                    ).decode()
+                except Exception:
+                    # no collective available: seq-only semantics
+                    tok = "run"
+            self._merge_token = tok
+        return tok
+
     def _merge_ranks(self, pred_path, dl_name, own_results):
         """Rank 0 concatenates every rank's pickle (filesystem gather,
         identical format to the reference).
@@ -114,10 +137,14 @@ class _BaseEvaluator:
         increasing sequence number (identical across ranks — calls are
         lockstep) and ranks publish a ``.done`` marker carrying it; rank
         0 waits for THIS call's marker, and a timeout raises instead of
-        silently scoring mixed-epoch predictions."""
+        silently scoring mixed-epoch predictions. The marker also
+        carries a per-RUN token (rank-0 uuid broadcast at first use):
+        without it, a crashed PRIOR run's same-seq marker could satisfy
+        the wait when the sync barrier fails before rank w cleans up."""
         import time as _time
 
         seq = self._merge_seq = getattr(self, "_merge_seq", 0) + 1
+        tok = self._run_token()
         # clear own stale markers (a previous crashed run with the same
         # uid could have left seq-1 markers behind)
         if seq == 1:
@@ -127,7 +154,7 @@ class _BaseEvaluator:
                 stale.unlink()
         fname = Path(pred_path) / f"{dl_name}_{self.rank}.pkl"
         write_pickle(own_results, fname)
-        (Path(pred_path) / f".{dl_name}_{self.rank}.{seq}.done").touch()
+        (Path(pred_path) / f".{dl_name}_{self.rank}.{tok}.{seq}.done").touch()
         if self.world_size > 1:
             try:
                 from jax.experimental import multihost_utils
@@ -139,7 +166,7 @@ class _BaseEvaluator:
             return None
         merged = list(own_results)
         for w in range(1, self.world_size):
-            marker = Path(pred_path) / f".{dl_name}_{w}.{seq}.done"
+            marker = Path(pred_path) / f".{dl_name}_{w}.{tok}.{seq}.done"
             for _ in range(600):
                 if marker.exists():
                     break
@@ -155,24 +182,24 @@ class _BaseEvaluator:
 
                 merged += _pkl.load(f)
             marker.unlink(missing_ok=True)
-        (Path(pred_path) / f".{dl_name}_0.{seq}.done").unlink(missing_ok=True)
+        (Path(pred_path) / f".{dl_name}_0.{tok}.{seq}.done").unlink(
+            missing_ok=True
+        )
         fname0 = Path(pred_path) / f"{dl_name}_0.pkl"
         write_pickle(merged, fname0)
         return fname0
 
     compute_loss = False  # EvalB_Acc computes eval loss (evl_vsitu.py:222)
 
-    def run_loss(self, variables, batch) -> float:
+    def loss_from_outputs(self, out, padded, n_real) -> float:
+        """Loss of this rank's (possibly partial) batch, computed from
+        the outputs ``run_model`` already produced — no second forward,
+        no per-remainder-shape jit, and exact on pad rows (only the
+        first ``n_real`` rows count). ``out`` covers the GLOBAL batch on
+        multi-process runs; implementations slice their rank's rows."""
         raise NotImplementedError
 
-    def run_loss_unpadded(self, variables, batch) -> float:
-        """Loss of a PARTIAL final batch at its true size (no pad rows):
-        the padded-batch loss would average duplicated pad rows into the
-        reported val_loss. One extra jit specialization per remainder
-        shape, un-meshed (the remainder need not divide the devices)."""
-        raise NotImplementedError
-
-    def __call__(self, variables, dl, dl_name, pred_path, write_to_file=True):
+    def __call__(self, variables, dl, dl_name, pred_path):
         import jax as _jax
 
         results: List[Dict] = []
@@ -180,10 +207,17 @@ class _BaseEvaluator:
         nums: List[int] = []
         bsv = dl.batch_size
         if self.mesh is not None:
-            local_dev = int(self.mesh.devices.size) // _jax.process_count()
-            assert bsv % max(local_dev, 1) == 0, (
-                f"eval batch {bsv} must be divisible by the {local_dev} "
-                f"local devices of the mesh"
+            from ..parallel.mesh import data_extent
+
+            # divisor = the data(+fsdp) extent's local share, NOT the
+            # device count: a 'model' (tensor-parallel) axis replicates
+            # the batch rather than splitting it
+            local_dp = max(
+                data_extent(self.mesh) // _jax.process_count(), 1
+            )
+            assert bsv % local_dp == 0, (
+                f"eval batch {bsv} must be divisible by the mesh's "
+                f"{local_dp}-way local data-parallel share"
             )
         multiproc = _jax.process_count() > 1
         for batch in dl:
@@ -206,10 +240,7 @@ class _BaseEvaluator:
             else:
                 results += self.decode_batch(out, padded["vseg_idx"])
             if self.compute_loss:
-                if n_real == bsv:
-                    losses.append(self.run_loss(variables, dev_batch))
-                else:
-                    losses.append(self.run_loss_unpadded(variables, batch))
+                losses.append(self.loss_from_outputs(out, padded, n_real))
                 nums.append(n_real)
         seen = set()
         uniq = [r for r in results
@@ -305,35 +336,33 @@ class EvalB_Acc(_BaseEvaluator):
         self.evl_met = EvlFn_EvRel(cfg, comm, self.met_keys)
         self._model = model
         self._build_forwards()
-        # plain jit (no mesh shardings) for partial final batches: their
-        # size need not divide the devices; compiles once per remainder
-        # shape (at most one distinct remainder per split)
-        import jax as _jax
-
-        self._loss_fwd_raw = _jax.jit(
-            lambda v, b: model.apply(v, b)["loss"]
-        )
 
     def _build_forwards(self):
         self.forward = self._jit(
             lambda v, b: self._model.apply(v, b)["mdl_out"]
         )
-        self._loss_fwd = self._jit(
-            lambda v, b: self._model.apply(v, b)["loss"]
-        )
 
     def rebind_mesh(self, mesh):
         super().rebind_mesh(mesh)
-        self._build_forwards()  # _loss_fwd_raw is un-meshed: keep it
+        self._build_forwards()
 
-    def run_loss(self, variables, batch) -> float:
-        return float(self._loss_fwd(variables, batch))
-
-    def run_loss_unpadded(self, variables, batch) -> float:
-        import jax.numpy as jnp
-
-        dev = {k: jnp.asarray(v) for k, v in batch.items()}
-        return float(self._loss_fwd_raw(variables, dev))
+    def loss_from_outputs(self, out, padded, n_real) -> float:
+        """Masked CE recomputed host-side from the logits the forward
+        already produced (the model's own loss head, evrel_models.py:
+        masked_cross_entropy over labels != -1). Exact for partial
+        batches (pad rows excluded) and multi-process-safe: the old
+        un-meshed jit fallback fed per-host DIFFERING local batches to
+        a plain jit, which is undefined for global inputs."""
+        bsv = next(iter(padded.values())).shape[0]
+        row0 = self.rank * bsv if out.shape[0] > bsv else 0
+        logits = np.asarray(out)[row0:row0 + n_real].astype(np.float64)
+        labels = np.asarray(padded["evrel_labs"])[:n_real].reshape(-1)
+        lo = logits.reshape(-1, logits.shape[-1])
+        mask = labels != -1
+        lo = lo - lo.max(-1, keepdims=True)
+        lse = np.log(np.exp(lo).sum(-1))
+        ce = lse - lo[np.arange(lo.shape[0]), np.where(mask, labels, 0)]
+        return float((ce * mask).sum() / max(mask.sum(), 1.0))
 
     def run_model(self, variables, batch):
         return np.asarray(self.forward(variables, batch))

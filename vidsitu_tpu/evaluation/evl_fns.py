@@ -326,14 +326,19 @@ class EvalFnCap:
         self.args_used = ["Arg0", "Arg1", "Arg2", "ALoc", "AScn"]
         self.ngt = 3
         scorer_dict = {
-            "bleu": ScorerE(Bleu(4), ["bleu_1", "bleu_2", "bleu_3", "bleu_4"]),
-            "cider": ScorerE(Cider("corpus"), ["cider"]),
-            "rouge": ScorerE(Rouge(), ["rouge"]),
+            "bleu": lambda: ScorerE(
+                Bleu(4), ["bleu_1", "bleu_2", "bleu_3", "bleu_4"]
+            ),
+            "cider": lambda: ScorerE(Cider("corpus"), ["cider"]),
+            "rouge": lambda: ScorerE(Rouge(), ["rouge"]),
             # available like the reference's scorer registry
-            # (evl_fns.py:410-432); not in any default met_keys
-            "meteor": ScorerE(Meteor(), ["meteor"]),
+            # (evl_fns.py:410-432); not in any default met_keys.
+            # Factories, not instances: Meteor probes env vars and may
+            # parse a WordNet synonym table at construction — only the
+            # scorers actually named in met_keys get built
+            "meteor": lambda: ScorerE(Meteor(), ["meteor"]),
         }
-        self.scorers = {k: scorer_dict[k] for k in met_keys}
+        self.scorers = {k: scorer_dict[k]() for k in met_keys}
         self.coval_all_metrics = ALL_COREF_METRICS
         self.reset_coval_scorer_dict()
 
@@ -390,9 +395,9 @@ class EvalFnCap:
         ev_lst = [f"Ev{eix}" for eix in range(1, 6)]
         for ann_idx in ann_idx_keys:
             pred_events = hypo_dct[ann_idx]
-            gt_annotations = [
-                y for yix, y in enumerate(self.gts_dct[ann_idx]) if yix != ix_gt
-            ][:ngt]
+            # same exclusion rule as gt_refs_dct above — reuse it so the
+            # caption refs and coref refs can never desynchronize
+            gt_annotations = gt_refs_dct[ann_idx]
             for ev_i in ev_lst:
                 gt_args = gt_annotations[0][ev_i]["Args"]
                 vb_id = gt_annotations[0][ev_i]["VerbID"]
@@ -504,6 +509,15 @@ class EvalFnCap:
             conv_dct2: Dict = {}
             for _ck, c in conv_dct.items():
                 conv_dct2.setdefault(c["ann_idx"], []).append(c)
+            # ann_idx -> {ev_agname: meta}, hoisted out of the gtix loop
+            # (it depends only on ann_idx) and .get-guarded: a video
+            # whose annotator-0 events hold only unused roles has NO
+            # ix_to_meta entries at all — per-slot misses are weighted 0
+            # below, and a whole-video miss must not KeyError here
+            conv11_by_ann = {
+                an: {v["ev_agname"]: v for v in conv_dct2.get(an, [])}
+                for an in ann_idx_keys
+            }
 
         gt_max = len(gts_orig_dct[list(gts_orig_dct.keys())[0]])
         for gtix in range(gt_max):
@@ -513,9 +527,7 @@ class EvalFnCap:
                 hypo_1 = hyp_orig_dct[ann_idx]
                 cid_sc_lst = None
                 if is_lea_soft:
-                    conv11 = {
-                        v["ev_agname"]: v for v in conv_dct2[ann_idx]
-                    }
+                    conv11 = conv11_by_ann[ann_idx]
                 if "Ev1" not in hypo_1:
                     continue
                 if "Args" in hypo_1["Ev1"]:

@@ -192,9 +192,12 @@ def _banned_ngram_mask(
     p_idx = jnp.arange(num_p)
     valid = (p_idx + m <= t) & (t - m + 1 >= 0)
     match = jnp.all(grams == cur[:, None, :], axis=-1) & valid[None, :]
-    banned = jnp.zeros((r, vocab), bool)
-    onehot = jax.nn.one_hot(nexts, vocab, dtype=bool)
-    banned = jnp.any(onehot & match[:, :, None], axis=1)
+    # scatter-max instead of a one-hot reduction: (R, num_p, V) bool
+    # would be ~2 GB/step at real dims (R=200, V=50k) inside the
+    # while_loop — the scatter is O(R*num_p)
+    banned = jnp.zeros((r, vocab), jnp.bool_).at[
+        jnp.arange(r, dtype=jnp.int32)[:, None], nexts
+    ].max(match)
     return jnp.where(banned, NEG_INF, 0.0)
 
 

@@ -46,6 +46,18 @@ def data_sharded(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(axes))
 
 
+def data_extent(mesh: Mesh) -> int:
+    """How many ways the batch axis is split: the product of the
+    'data' and 'fsdp' mesh extents ('model' shards weights/heads, not
+    examples — see data_sharded). The batch-size divisibility
+    requirement is against THIS, not the total device count."""
+    n = 1
+    for a in mesh.axis_names:
+        if a in ("data", "fsdp"):
+            n *= int(mesh.shape[a])
+    return n
+
+
 def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh) -> Dict[str, Any]:
     """Host batch -> device arrays sharded along the data axis.
 

@@ -27,6 +27,7 @@ import numpy as np
 import optax
 
 from ..parallel.mesh import (
+    data_extent,
     data_sharded,
     globalize_replicated,
     make_mesh,
@@ -102,10 +103,7 @@ class Learner:
         # each process's loader shard must split over its LOCAL share of
         # the DP extent (batch shards over the data AND fsdp axes —
         # parallel/mesh.data_sharded; a 'model' axis replicates the batch)
-        dp_extent = int(np.prod([
-            int(self.mesh.shape[a]) for a in ("data", "fsdp")
-            if a in self.mesh.axis_names
-        ]))
+        dp_extent = data_extent(self.mesh)
         local_dp = dp_extent // jax.process_count()
         assert data.train_dl.batch_size % max(local_dp, 1) == 0, (
             f"per-process batch {data.train_dl.batch_size} must be divisible "
@@ -381,22 +379,21 @@ class Learner:
             from jax.sharding import Mesh as _Mesh
 
             new_mesh = _Mesh(np.asarray(devices), ("data",))
-        dp_extent = int(np.prod([
-            int(new_mesh.shape[a]) for a in ("data", "fsdp")
-            if a in new_mesh.axis_names
-        ]))
+        dp_extent = data_extent(new_mesh)
         local_dp = max(dp_extent // jax.process_count(), 1)
         assert self.data.train_dl.batch_size % local_dp == 0, (
             f"per-process batch {self.data.train_dl.batch_size} is not "
             f"divisible by the resized mesh's {local_dp}-way local share"
         )
         # fail HERE, not deep inside the next validation's batch-placement
-        # assert (the evaluator is rebound to the same mesh below)
+        # assert (the evaluator is rebound to the same mesh below).
+        # The divisor is the data(+fsdp) extent, NOT the device count:
+        # a 'model' axis replicates the batch (tensor parallelism)
         bsv = getattr(getattr(self.data, "valid_dl", None), "batch_size", None)
-        n_local = int(new_mesh.devices.size) // max(jax.process_count(), 1)
-        assert bsv is None or bsv % max(n_local, 1) == 0, (
+        assert bsv is None or bsv % local_dp == 0, (
             f"eval batch {bsv} is not divisible by the resized mesh's "
-            f"{n_local} local devices; pick a compatible n_devices or bsv"
+            f"{local_dp}-way local data-parallel share; pick a "
+            f"compatible n_devices or bsv"
         )
         # pull the live state to host; the rebuilt jit's in_shardings
         # re-shard it on entry (the old buffers were step outputs laid
@@ -512,10 +509,21 @@ class Learner:
             loss, acc = self.eval_fn(
                 self.variables, dl, dl_name,
                 pred_path=self.predictions_dir,
-                write_to_file=write_to_file,
             )
             out_loss.update(loss)
             out_acc.update(acc)
+        if write_to_file:
+            # reference parity (trn_utils.py:568-578): write_to_file
+            # persists the validation stats line to the txt log —
+            # prediction pkls are written by the evaluator regardless,
+            # exactly as the reference's eval_fn does
+            keys = ["epochs"] + list(out_loss) + list(out_acc)
+            vals = [str(self.num_epoch)] + [
+                f"{float(v):.4f}"
+                for v in list(out_loss.values()) + list(out_acc.values())
+            ]
+            self.update_log_file("  ".join(keys))
+            self.update_log_file("  ".join(vals))
         return out_loss, out_acc, {}
 
     def fit(self, epochs: int, lr: float):
