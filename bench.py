@@ -58,6 +58,16 @@ import os
 import sys
 import time
 
+if os.environ.get("VIDSITU_PLATFORM"):
+    # the baked axon sitecustomize re-pins jax to the tunneled TPU via
+    # a config update, so the JAX_PLATFORMS env var alone cannot force
+    # a CPU run (same hook as main.py) — used by the bench smoke test
+    import jax as _jax_platform_pin
+
+    _jax_platform_pin.config.update(
+        "jax_platforms", os.environ["VIDSITU_PLATFORM"]
+    )
+
 # analytic V100 fp32 estimates (derivations in the module docstring and
 # BENCH.md); the featext north-star target is >=10x its anchor
 GPU_BASELINE_CLIPS_PER_SEC = 80.0

@@ -53,6 +53,9 @@ def test_bench_cli_prints_one_json_line():
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # env alone is overridden by the axon sitecustomize; bench.py's
+    # VIDSITU_PLATFORM hook re-pins the config to cpu
+    env["VIDSITU_PLATFORM"] = "cpu"
     proc = subprocess.run(
         [sys.executable, "bench.py", "srl", "4", "2"], cwd=str(REPO),
         env=env, capture_output=True, text=True, timeout=1800,

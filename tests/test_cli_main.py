@@ -55,6 +55,12 @@ def env(tmp_path_factory):
 def run_cli(uid, extra, root):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # env alone is overridden by the axon sitecustomize; main.py's
+    # VIDSITU_PLATFORM hook re-pins the config to cpu
+    env["VIDSITU_PLATFORM"] = "cpu"
+    # don't inherit the pytest session's 8-device flag: pin a device
+    # count the bs=4/bsv=4 (and bs=2 preempt) configs divide
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     cmd = [
         sys.executable, "main.py", uid,
@@ -118,6 +124,8 @@ def test_cli_sigterm_preempts_cleanly(env):
     args, root = env
     env_vars = dict(os.environ)
     env_vars["JAX_PLATFORMS"] = "cpu"
+    env_vars["VIDSITU_PLATFORM"] = "cpu"  # see run_cli comment
+    env_vars["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env_vars["PYTHONPATH"] = str(REPO) + os.pathsep + env_vars.get(
         "PYTHONPATH", "")
     uid = "cli_preempt"

@@ -54,6 +54,14 @@ def _launch_pair(cmd, tmp_path, timeout):
         env.update(
             {
                 "JAX_PLATFORMS": "cpu",
+                # JAX_PLATFORMS alone is NOT enough: the baked axon
+                # sitecustomize re-pins jax to the tunneled TPU via a
+                # config update after env parsing, silently collapsing
+                # the "cluster" onto the single real chip (rank 1 then
+                # blocks on the device until the shutdown barrier kills
+                # both). main.py's VIDSITU_PLATFORM hook re-updates the
+                # config to cpu after import.
+                "VIDSITU_PLATFORM": "cpu",
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
                 "VIDSITU_DISTRIBUTED": "1",
                 "VIDSITU_COORD": f"127.0.0.1:{port}",
@@ -109,6 +117,14 @@ def test_two_process_train_and_merged_eval(tmp_path):
     assert outs is not None, "both attempts timed out"
     for i, (rc, out) in enumerate(outs):
         assert rc == 0, f"proc {i} failed:\n{out[-4000:]}"
+        # the cluster actually formed: 2 processes x 2 forced CPU
+        # devices. If the platform pin silently fails (axon
+        # sitecustomize), each rank runs standalone on the real chip
+        # and this test stops testing anything multi-process.
+        assert "num_gpus: 4" in out, (
+            f"proc {i} did not join the 4-device CPU cluster:\n"
+            + out[:2000]
+        )
 
     # both ranks see the same (replicated, psum'd) training loss
     def epoch_loss(out):
@@ -152,6 +168,7 @@ def test_two_process_partial_sigterm_no_desync(tmp_path):
         env.update(
             {
                 "JAX_PLATFORMS": "cpu",
+                "VIDSITU_PLATFORM": "cpu",  # see _launch_pair comment
                 "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
                 "VIDSITU_DISTRIBUTED": "1",
                 "VIDSITU_COORD": f"127.0.0.1:{port}",
@@ -204,6 +221,10 @@ def test_two_process_partial_sigterm_no_desync(tmp_path):
         outs.append((p.returncode, out))
     for i, (rc, out) in enumerate(outs):
         assert rc == 0, f"proc {i} failed:\n{out[-4000:]}"
+        assert "num_gpus: 4" in out, (
+            f"proc {i} did not join the 4-device CPU cluster:\n"
+            + out[:2000]
+        )
     log = (tmp_path / "tmp" / "txt_logs" / "mhpre.txt").read_text()
     assert "preempted" in log
     assert (tmp_path / "tmp" / "models" / "mhpre.preempt.ckpt").exists()
