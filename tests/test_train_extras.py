@@ -149,6 +149,34 @@ def test_plateau_reduces_lr(env, tmp_path):
     assert float(hp) == pytest.approx(lr0 * 0.5)
 
 
+def test_plateau_counts_ties_as_no_improvement(env, monkeypatch):
+    """A repeated-best metric must count toward plateau patience, not
+    reset it: the reference improves only on STRICT increase
+    (trn_utils.py:825). A quantized metric that ties its best forever
+    used to starve reduce-on-plateau (round-5 review fix)."""
+    cfg = mk(
+        env, "plateau_tie",
+        **{
+            "train.use_reduce_lr_plateau": True,
+            "train.plateau_patience": 2,
+            "train.plateau_factor": 0.5,
+        },
+    )
+    learner = _make_learner(cfg)
+    met0 = learner.eval_fn.met_keys[0]
+    mets = iter([0.5, 0.5, 0.5, 0.5])
+    monkeypatch.setattr(
+        learner, "validate",
+        lambda db=None, write_to_file=False: (
+            {"loss": 0.0}, {met0: next(mets)}, {}),
+    )
+    lr0 = 1e-3
+    learner.fit(epochs=3, lr=lr0)
+    # epoch 1 improves (None -> 0.5); epochs 2-3 tie -> patience 2 hit
+    assert learner.best_met == 0.5
+    assert learner._lr == pytest.approx(lr0 * 0.5)
+
+
 def test_tracker_files(env):
     cfg = mk(env, "tracked", **{"train.epochs": 1})
     learner = _make_learner(cfg)
@@ -231,9 +259,13 @@ def test_multirank_prediction_merge(env, tmp_path):
     pred_dir = tmp_path / "preds"
     pred_dir.mkdir()
     r1 = Dummy(rank=1, world=2)
+    # real ranks agree on the per-run marker token via a broadcast
+    # collective; two same-process instances can't, so pin it
+    r1._merge_token = "tok0"
     out1 = r1._merge_ranks(pred_dir, "valid", [{"ann_idx": 2, "x": 1}])
     assert out1 is None  # non-zero rank does not merge
     r0 = Dummy(rank=0, world=2)
+    r0._merge_token = "tok0"
     f0 = r0._merge_ranks(pred_dir, "valid", [{"ann_idx": 0}, {"ann_idx": 1}])
     merged = pickle.load(open(f0, "rb"))
     assert sorted(p["ann_idx"] for p in merged) == [0, 1, 2]

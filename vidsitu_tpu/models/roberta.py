@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .transformer import EncoderLayer, TxConfig
+from .transformer import EncoderLayer, TxConfig, _dropout
 
 
 @dataclass(frozen=True)
@@ -113,11 +113,8 @@ class RobertaModel(nn.Module):
         )
         x = self.emb_ln(x)
         # HF RobertaEmbeddings applies dropout after the LayerNorm
-        if self.cfg.dropout > 0.0 and not deterministic:
-            keep = jax.random.bernoulli(
-                self.make_rng("dropout"), 1.0 - self.cfg.dropout, x.shape
-            )
-            x = x * keep / (1.0 - self.cfg.dropout)
+        x = _dropout(x, self.cfg.dropout, deterministic,
+                     lambda: self.make_rng("dropout"))
         from .common import make_padding_mask
 
         mask = make_padding_mask(attention_mask)
@@ -142,12 +139,8 @@ class RobertaClassificationHead(nn.Module):
     @nn.compact
     def __call__(self, hidden, deterministic: bool = True):
         def drop(x):
-            if self.dropout <= 0.0 or deterministic:
-                return x
-            keep = jax.random.bernoulli(
-                self.make_rng("dropout"), 1.0 - self.dropout, x.shape
-            )
-            return x * keep / (1.0 - self.dropout)
+            return _dropout(x, self.dropout, deterministic,
+                            lambda: self.make_rng("dropout"))
 
         x = drop(hidden[:, 0])
         x = nn.Dense(self.d_model, dtype=self.dtype,

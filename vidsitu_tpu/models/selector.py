@@ -90,7 +90,11 @@ def build_srl_generate_fn(cfg, comm, model, mesh=None):
     # decoder position capacity caps decode length (fairseq
     # max_decoder_positions(), seq_gen.py:233-239)
     if "gpt2" in cfg.mdl.mdl_name:
-        max_positions = 1024  # GPT-2 n_positions
+        # the CONFIGURED position-table size, not a hardcoded 1024: a
+        # shrunk gpt2_mdl.max_pos must still cap decode length or the
+        # learned nn.Embed would be indexed out of range (XLA clamps
+        # silently -> wrong generations)
+        max_positions = int(cfg.gpt2_mdl.max_pos)
     else:
         max_positions = int(cfg.tx_dec["max_target_positions"])
     return make_srl_generator(

@@ -139,10 +139,8 @@ class MultiHeadAttention(nn.Module):
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
             self.dtype
         )
-        if self.dropout > 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
-            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, probs.shape)
-            probs = probs * keep / (1.0 - self.dropout)
+        probs = _dropout(probs, self.dropout, deterministic,
+                         lambda: self.make_rng("dropout"))
         ctx = jnp.einsum("bhts,bshd->bthd", probs, v)
         return self.out_proj(ctx)
 
@@ -189,10 +187,8 @@ class MultiHeadAttention(nn.Module):
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(
             self.dtype
         )
-        if self.dropout > 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
-            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, probs.shape)
-            probs = probs * keep / (1.0 - self.dropout)
+        probs = _dropout(probs, self.dropout, deterministic,
+                         lambda: self.make_rng("dropout"))
         w = jnp.einsum(
             "bkht,bktj->bkhjt", probs, sel,
             precision=jax.lax.Precision.HIGHEST,
@@ -250,10 +246,8 @@ class FFN(nn.Module):
             h = nn.gelu(h, approximate=False)
         else:
             raise NotImplementedError(self.activation)
-        if self.dropout > 0.0 and not deterministic:
-            rng = self.make_rng("dropout")
-            keep = jax.random.bernoulli(rng, 1.0 - self.dropout, h.shape)
-            h = h * keep / (1.0 - self.dropout)
+        h = _dropout(h, self.dropout, deterministic,
+                     lambda: self.make_rng("dropout"))
         return self.fc2(h)
 
 

@@ -59,7 +59,11 @@ class SmoothenDict:
 
 
 def good_format_stats(names, stats) -> str:
-    return " ".join(f"{k}: {float(stats[k]):.4f}" for k in names)
+    # .get: a scorer that omits a metric must log 0, not crash the
+    # epoch's logging (same guard as the fit loop's met0 read)
+    return " ".join(
+        f"{k}: {float(stats.get(k, 0.0)):.4f}" for k in names
+    )
 
 
 class Learner:
@@ -434,9 +438,7 @@ class Learner:
         dl.set_epoch(self.num_epoch)
         params, extra = self._split_vars()
         losses = []
-        profiling = (
-            self.cfg.tpu.profile and self.num_epoch == 0 and jax is not None
-        )
+        profiling = self.cfg.tpu.profile and self.num_epoch == 0
         prof_started = False
         prof_dir = str(Path(self.cfg.misc.tmp_path) / "profile" / self.uid)
 
@@ -449,11 +451,17 @@ class Learner:
             if np.isnan(lossf):
                 self.logger.info("Nan loss at iteration %d", pending_it)
             losses.append(lossf)
-            smoother.add_value({"loss": lossf})
+            # the jitted step emits ONE scalar; the head key carries it
+            # and any extra loss_keys smooth zeros (SmoothenDict
+            # iterates every key, so a partial dict would KeyError)
+            smoother.add_value(
+                {k: lossf if i == 0 else 0.0
+                 for i, k in enumerate(self.loss_keys)}
+            )
             if pending_it % max(self.cfg.log.deb_it, 1) == 0:
                 self.logger.debug(
                     "it %d loss %.4f smooth %.4f",
-                    pending_it, lossf, smoother.smooth["loss"],
+                    pending_it, lossf, smoother.smooth[self.loss_keys[0]],
                 )
 
         pending = None  # (loss device array, its iteration number)
@@ -592,8 +600,15 @@ class Learner:
                     }
                     val_loss = dict(val_loss, loss=float(vec[-1]))
                 self.num_epoch += 1
-                met0 = float(val_acc[met_keys[0]])
-                improved = self.best_met is None or met0 >= self.best_met
+                # .get: a scorer that fails to produce the headline key
+                # must log a zero epoch, not KeyError away the training
+                # epoch (the multi-process branch already guards this)
+                met0 = float(val_acc.get(met_keys[0], 0.0))
+                # STRICT >: a tie is not an improvement (reference
+                # trn_utils.py:825 `best_met < met`); counting ties as
+                # improvements would reset plateau_wait every epoch and
+                # starve reduce-on-plateau on quantized metrics
+                improved = self.best_met is None or met0 > self.best_met
                 if improved:
                     self.best_met = met0
                     self.save_model_dict()
