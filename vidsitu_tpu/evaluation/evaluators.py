@@ -157,9 +157,9 @@ class _BaseEvaluator:
         (Path(pred_path) / f".{dl_name}_{self.rank}.{tok}.{seq}.done").touch()
         if self.world_size > 1:
             try:
-                from jax.experimental import multihost_utils
+                from ..parallel.collectives import synchronize
 
-                multihost_utils.sync_global_devices("eval_pkl_write")
+                synchronize("eval_pkl_write")
             except Exception:
                 _time.sleep(1.0)
         if self.rank != 0:
@@ -212,9 +212,12 @@ class _BaseEvaluator:
             # divisor = the data(+fsdp) extent's local share, NOT the
             # device count: a 'model' (tensor-parallel) axis replicates
             # the batch rather than splitting it
-            local_dp = max(
-                data_extent(self.mesh) // _jax.process_count(), 1
+            dp_extent = data_extent(self.mesh)
+            assert dp_extent % _jax.process_count() == 0, (
+                f"mesh data*fsdp extent {dp_extent} does not partition "
+                f"{_jax.process_count()} processes (see Learner init)"
             )
+            local_dp = max(dp_extent // _jax.process_count(), 1)
             assert bsv % local_dp == 0, (
                 f"eval batch {bsv} must be divisible by the mesh's "
                 f"{local_dp}-way local data-parallel share"
@@ -249,15 +252,12 @@ class _BaseEvaluator:
             # count-weighted global mean across processes (the reference's
             # reduce_dict_corr, trn_utils.py:102-121): each rank only saw
             # its own shard's batches
-            from jax.experimental import multihost_utils as _mhu
+            from ..parallel.collectives import reduce_dict_corr
 
-            part = np.asarray(
-                [float(np.dot(losses, nums)), float(np.sum(nums))],
-                np.float64,
-            )
-            tot = np.asarray(_mhu.process_allgather(part)).reshape(-1, 2)
-            tot = tot.sum(axis=0)
-            val_loss = float(tot[0] / max(tot[1], 1.0))
+            local = float(np.average(losses, weights=nums))
+            val_loss = reduce_dict_corr(
+                {"loss": local}, float(np.sum(nums))
+            )["loss"]
         else:
             val_loss = (
                 float(np.average(losses, weights=nums)) if losses else 0.0

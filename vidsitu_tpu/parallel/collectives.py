@@ -43,8 +43,10 @@ def reduce_dict(input_dict: Dict[str, float], average: bool = True) -> Dict:
     from jax.experimental import multihost_utils
 
     keys = sorted(input_dict.keys())
-    vec = np.asarray([float(input_dict[k]) for k in keys], np.float32)
-    summed = multihost_utils.process_allgather(vec).sum(axis=0)
+    vec = np.asarray([float(input_dict[k]) for k in keys], np.float64)
+    summed = np.asarray(
+        multihost_utils.process_allgather(vec), np.float64
+    ).sum(axis=0)
     if average:
         summed = summed / jax.process_count()
     return {k: float(v) for k, v in zip(keys, summed)}
@@ -59,8 +61,11 @@ def reduce_dict_corr(input_dict: Dict[str, float], nums: float) -> Dict:
 
     keys = sorted(input_dict.keys())
     vec = np.asarray(
-        [float(input_dict[k]) * nums for k in keys] + [float(nums)], np.float32
+        [float(input_dict[k]) * nums for k in keys] + [float(nums)],
+        np.float64,
     )
-    summed = multihost_utils.process_allgather(vec).sum(axis=0)
+    summed = np.asarray(
+        multihost_utils.process_allgather(vec), np.float64
+    ).sum(axis=0)
     total = summed[-1]
     return {k: float(v / max(total, 1e-8)) for k, v in zip(keys, summed[:-1])}

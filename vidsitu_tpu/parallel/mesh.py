@@ -28,7 +28,24 @@ def make_mesh(cfg=None, devices=None) -> Mesh:
     fixed = int(np.prod([s for s in shape if s != -1])) if shape else 1
     shape = [n // fixed if s == -1 else s for s in shape]
     assert int(np.prod(shape)) == n, f"mesh {shape} != {n} devices"
-    dev_array = np.asarray(devices).reshape(shape)
+    if len(shape) > 1:
+        # topology-aware placement for multi-axis meshes: a naive
+        # reshape of jax.devices() (device-id order) can spread a
+        # model/fsdp axis across non-adjacent chips or DCN;
+        # create_device_mesh assigns ICI-contiguous rings per axis so
+        # TP all-reduces and FSDP all-gathers ride ICI. Fall back to
+        # the reshape when the topology solver rejects the shape
+        # (numerically equivalent either way — GSPMD).
+        try:
+            from jax.experimental import mesh_utils
+
+            dev_array = mesh_utils.create_device_mesh(
+                shape, devices=devices
+            )
+        except Exception:
+            dev_array = np.asarray(devices).reshape(shape)
+    else:
+        dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, axis_names)
 
 

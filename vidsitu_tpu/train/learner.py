@@ -108,7 +108,18 @@ class Learner:
         # the DP extent (batch shards over the data AND fsdp axes —
         # parallel/mesh.data_sharded; a 'model' axis replicates the batch)
         dp_extent = data_extent(self.mesh)
-        local_dp = dp_extent // jax.process_count()
+        nproc = jax.process_count()
+        # the data(+fsdp) extent must PARTITION the process set: with
+        # dp_extent < nproc (e.g. a cross-host pure-model mesh) every
+        # host feeds its own loader shard into a dim-0 spec that XLA
+        # treats as replicated — divergent "global" batches, silently
+        # wrong gradients. Reject the config instead.
+        assert dp_extent % nproc == 0, (
+            f"mesh data*fsdp extent {dp_extent} does not partition "
+            f"{nproc} processes — every host must own at least one "
+            f"whole batch shard (add data/fsdp ways or fewer hosts)"
+        )
+        local_dp = dp_extent // nproc
         assert data.train_dl.batch_size % max(local_dp, 1) == 0, (
             f"per-process batch {data.train_dl.batch_size} must be divisible "
             f"by this process's {local_dp}-way share of the mesh's "
@@ -384,6 +395,10 @@ class Learner:
 
             new_mesh = _Mesh(np.asarray(devices), ("data",))
         dp_extent = data_extent(new_mesh)
+        assert dp_extent % jax.process_count() == 0, (
+            f"resized mesh data*fsdp extent {dp_extent} does not "
+            f"partition {jax.process_count()} processes"
+        )
         local_dp = max(dp_extent // jax.process_count(), 1)
         assert self.data.train_dl.batch_size % local_dp == 0, (
             f"per-process batch {self.data.train_dl.batch_size} is not "
