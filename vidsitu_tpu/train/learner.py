@@ -89,6 +89,7 @@ class Learner:
         self.num_it = 0
         self.num_epoch = 0
         self.best_met = None
+        self.best_epoch = 0  # epoch of the last best-model save
         self.opt_state = None
         self.optimizer = None
         self.plateau_wait = 0
@@ -626,6 +627,7 @@ class Learner:
                 improved = self.best_met is None or met0 > self.best_met
                 if improved:
                     self.best_met = met0
+                    self.best_epoch = self.num_epoch
                     self.save_model_dict()
                     self.plateau_wait = 0
                 elif self.cfg.train.use_reduce_lr_plateau:

@@ -897,7 +897,11 @@ def fit_rehearsal(work: Path, rep: Report, epochs: int = 2,
             over = {
                 **paths, **_FIT_DIMS[task],
                 "task_type": task, "mdl.mdl_name": mdl,
-                "train.bs": 8, "train.bsv": 4,
+                # bsv == bs: batches must shard over however many
+                # devices the host exposes (1 real TPU chip, or the
+                # test harness's 8 virtual CPU devices) — bsv=4 on an
+                # 8-device mesh fails the divisibility contract
+                "train.bs": 8, "train.bsv": 8,
                 "train.nw": 0, "train.nwv": 0,
                 "train.dtype": "float32",
                 "train.epochs": epochs,
@@ -958,10 +962,15 @@ def fit_rehearsal(work: Path, rep: Report, epochs: int = 2,
                 uid, **{**over, "train.resume": True}
             )
             learner2 = build_learner(rcfg, uid)
-            if learner2.num_epoch != epochs:
+            # resume-by-uid loads the BEST-model checkpoint (reference
+            # semantics) — with a plateaued metric that is an earlier
+            # epoch than the last, so compare against the recorded
+            # best-save epoch rather than the total epoch count
+            resumed_at = int(learner2.num_epoch)
+            if resumed_at != learner.best_epoch:
                 raise ValueError(
-                    f"resume restored epoch {learner2.num_epoch}, "
-                    f"expected {epochs}"
+                    f"resume restored epoch {resumed_at}, "
+                    f"expected best-save epoch {learner.best_epoch}"
                 )
             learner2.fit(epochs=1, lr=1e-3)
             recs2 = [json.loads(ln)
@@ -982,7 +991,7 @@ def fit_rehearsal(work: Path, rep: Report, epochs: int = 2,
                                 for k, v in val_acc.items()},
                 "val_loss": round(float(val_loss.get("loss", 0.0)), 4),
                 "pred_pkl": str(pkl),
-                "resume_epoch": epochs,
+                "resume_epoch": resumed_at,
                 "continued_loss": round(float(cont), 4),
                 "wall_s": round(wall, 1),
             }
